@@ -1,0 +1,207 @@
+"""DTW kernel tests: golden doctest parity + properties (SURVEY.md B1-B8)."""
+
+import warnings
+
+import numpy as np
+import pytest
+
+from tsclust_spark.kernels.dtw import (
+    build_mask,
+    dtw_distance,
+    dtw_path_from_metric,
+    itakura_mask,
+    pairwise_cost,
+    resolve_constraint,
+    sakoe_chiba_mask,
+)
+
+GOLDEN_PATH = [(0, 0), (0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+
+
+def _golden_series():
+    # reference tsclust/example.py:83-85
+    rng = np.random.RandomState(0)
+    return rng.rand(5, 2), rng.rand(6, 2)
+
+
+def test_golden_doctest_sqeuclidean():
+    # promoted from the reference's commented-out doctest (example.py:90-91)
+    s1, s2 = _golden_series()
+    path, score = dtw_path_from_metric(s1, s2, metric="sqeuclidean")
+    assert path == GOLDEN_PATH
+    # doctest ELLIPSIS "1.117...": decimal expansion starts with 1.117
+    assert repr(score).startswith("1.117")
+
+
+def test_golden_doctest_callable():
+    # example.py:95-97: custom callable gives same result
+    s1, s2 = _golden_series()
+    sqeuclidean = lambda x, y: np.sum((x - y) ** 2)  # noqa: E731
+    path, score = dtw_path_from_metric(s1, s2, metric=sqeuclidean)
+    assert path == GOLDEN_PATH
+    assert abs(score - dtw_path_from_metric(s1, s2, metric="sqeuclidean")[1]) < 1e-12
+
+
+def test_golden_doctest_precomputed():
+    # example.py:101-104: precomputed distance matrix input
+    s1, s2 = _golden_series()
+    dist = pairwise_cost(s1, s2, "sqeuclidean")
+    path, score = dtw_path_from_metric(dist, metric="precomputed")
+    assert path == GOLDEN_PATH
+
+
+def test_euclidean_same_path_different_score():
+    # example.py:107-111 note: same path, score = sum of euclidean not squared
+    s1, s2 = _golden_series()
+    p1, score_sq = dtw_path_from_metric(s1, s2, metric="sqeuclidean")
+    p2, score_eu = dtw_path_from_metric(s1, s2, metric="euclidean")
+    assert p1 == GOLDEN_PATH and p2 == GOLDEN_PATH
+    assert score_eu != score_sq
+    # score equals sum of local metric along the path (example.py:8-10)
+    d = pairwise_cost(s1, s2, "euclidean")
+    assert abs(score_eu - sum(d[i, j] for i, j in p2)) < 1e-9
+
+
+def test_identity_distance_zero():
+    s = np.random.RandomState(1).rand(20, 3)
+    path, score = dtw_path_from_metric(s, s, metric="euclidean")
+    assert score < 1e-12
+    assert path == [(i, i) for i in range(20)]
+
+
+def test_path_monotone_and_bounded():
+    rng = np.random.RandomState(2)
+    for _ in range(5):
+        s1 = rng.rand(rng.randint(2, 30), 2)
+        s2 = rng.rand(rng.randint(2, 30), 2)
+        path, _ = dtw_path_from_metric(s1, s2)
+        assert path[0] == (0, 0)
+        assert path[-1] == (len(s1) - 1, len(s2) - 1)
+        for (i0, j0), (i1, j1) in zip(path, path[1:]):
+            assert 0 <= i1 - i0 <= 1 and 0 <= j1 - j0 <= 1
+            assert (i1 - i0) + (j1 - j0) >= 1
+
+
+def test_constraint_conflict_rule():
+    # example.py:50-54,60-64: both set + no constraint -> warning + none
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        gc, r, s = resolve_constraint(None, 2, 3.0)
+        assert gc is None
+        assert any(issubclass(w.category, RuntimeWarning) for w in caught)
+    # inference when exactly one is set
+    assert resolve_constraint(None, 2, None)[0] == "sakoe_chiba"
+    assert resolve_constraint(None, None, 3.0)[0] == "itakura"
+    # documented defaults (example.py:46-49,56-59)
+    assert resolve_constraint("sakoe_chiba", None, None)[1] == 1
+    assert resolve_constraint("itakura", None, None)[2] == 2.0
+
+
+def test_sakoe_chiba_mask_basic():
+    m = sakoe_chiba_mask(5, 5, radius=1)
+    assert m[0, 0] and m[4, 4]
+    assert m[0, 1] and not m[0, 2]
+    assert m[1, 0] and not m[2, 0]
+    # corners always reachable even with unequal lengths
+    m2 = sakoe_chiba_mask(5, 50, radius=1)
+    assert m2[0, 0] and m2[4, 49]
+
+
+def test_itakura_mask_basic():
+    m = itakura_mask(10, 10, max_slope=2.0)
+    assert m[0, 0] and m[9, 9]
+    assert not m[0, 9] and not m[9, 0]
+
+
+def test_banded_dtw_matches_unconstrained_when_band_wide():
+    rng = np.random.RandomState(3)
+    s1, s2 = rng.rand(15, 2), rng.rand(15, 2)
+    d0 = dtw_distance(s1, s2)
+    d1 = dtw_distance(s1, s2, global_constraint="sakoe_chiba", sakoe_chiba_radius=20)
+    assert abs(d0 - d1) < 1e-12
+
+
+def test_band_never_below_unconstrained():
+    rng = np.random.RandomState(4)
+    for _ in range(5):
+        s1, s2 = rng.rand(12, 1), rng.rand(14, 1)
+        d0 = dtw_distance(s1, s2)
+        d1 = dtw_distance(
+            s1, s2, global_constraint="sakoe_chiba", sakoe_chiba_radius=1
+        )
+        assert d1 >= d0 - 1e-12
+
+
+def test_step_pattern_normalization():
+    rng = np.random.RandomState(5)
+    s1, s2 = rng.rand(8, 1), rng.rand(10, 1)
+    _, raw = dtw_path_from_metric(s1, s2, step_pattern="symmetric1")
+    _, nm = dtw_path_from_metric(s1, s2, step_pattern="symmetric2")
+    # symmetric2 divides by N+M (stepattern.py:133-134): normalized score
+    # must be far smaller than the raw cumulative cost for these sizes
+    assert nm < raw
+
+
+def test_rigid_pattern_requires_equal_lengths():
+    rng = np.random.RandomState(6)
+    s = rng.rand(7, 1)
+    d = dtw_distance(s, s, step_pattern="rigid")
+    assert d < 1e-12
+    with pytest.raises(RuntimeError):
+        dtw_path_from_metric(rng.rand(5, 1), rng.rand(9, 1), step_pattern="rigid")
+
+
+def test_asymmetric_pattern_runs():
+    rng = np.random.RandomState(7)
+    d = dtw_distance(rng.rand(10, 1), rng.rand(12, 1), step_pattern="asymmetric")
+    assert np.isfinite(d) and d >= 0
+
+
+def test_multidimensional_dim_mismatch():
+    with pytest.raises(ValueError):
+        pairwise_cost(np.zeros((3, 2)), np.zeros((3, 4)))
+
+
+def test_mask_none_when_unconstrained():
+    assert build_mask(5, 5) is None
+
+
+def _dp_slow(cost, steps, mask=None):
+    """Triple-loop reference DP — the oracle twin of the vectorized kernel."""
+    n, m = cost.shape
+    local = np.where(mask, cost, np.inf) if mask is not None else cost
+    D = np.full((n, m), np.inf)
+    D[0, 0] = local[0, 0]
+    for j in range(m):
+        for i in range(n):
+            if i == 0 and j == 0:
+                continue
+            best = np.inf
+            for dx, dy, w in steps:
+                pi, pj = i - int(dy), j - int(dx)
+                if pi < 0 or pj < 0:
+                    continue
+                best = min(best, D[pi, pj] + local[i, j] * w)
+            D[i, j] = best
+    return D
+
+
+def test_vectorized_dp_matches_slow_oracle():
+    from tsclust_spark.compat.stepattern import PATTERNS
+    from tsclust_spark.kernels.dtw import BIG, _accumulate, sakoe_chiba_mask
+
+    rng = np.random.RandomState(11)
+    for pname in ["symmetric1", "symmetric2", "asymmetric", "rigid"]:
+        steps = PATTERNS[pname].to_numpy()
+        for trial in range(4):
+            n, m = rng.randint(2, 18), rng.randint(2, 18)
+            cost = rng.rand(n, m)
+            for mask in [None, sakoe_chiba_mask(n, m, radius=2)]:
+                fast = _accumulate(cost, steps, mask)
+                slow = _dp_slow(cost, steps, mask)
+                reach = slow < np.inf
+                assert np.allclose(fast[reach], slow[reach], rtol=1e-10), (
+                    pname,
+                    trial,
+                )
+                assert (fast[~reach] >= BIG / 2).all()

@@ -1,0 +1,127 @@
+"""Continuous-aggregate tier rollup: raw -> 1m -> 1h -> 1d (SURVEY.md C16/C17).
+
+Each tier stores the decomposable stats ``(min, max, sum, count)`` per
+``(key, bucket_ts)``; ``mean`` is derived as ``sum / count`` on read —
+never an average of averages — so the 1h tier computed by cascading from
+1m is bit-exact equal to the 1h tier computed directly from raw points
+(integer sums are associative; this is the SURVEY.md §7 "hard part (a)"
+design). Buckets use ``date_trunc``, which exists with identical
+semantics in DuckDB for the oracle comparison.
+
+Scale notes (100 TB): the rollup is ONE hash-aggregate per tier —
+Catalyst plans partial (map-side) + final aggregation automatically, so
+the shuffle carries only per-bucket partials. The cascade re-aggregates
+the (already tiny) finer tier instead of rescanning raw data: 1m -> 1h
+-> 1d touches ~1/60 then ~1/3600 of the raw volume. Tier tables are
+written partitioned by ``bucket_date`` for partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TIER_TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
+TIER_ORDER = ["1m", "1h", "1d"]
+
+
+def _agg_exprs(value_col: str, sum_type: str):
+    return [
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+        F.sum(value_col).cast(sum_type).alias("sum_value"),
+        F.count(value_col).alias("count_value"),
+    ]
+
+
+def rollup_tier(
+    points_df: DataFrame,
+    tier: str = "1m",
+    key_col: str = "doc_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    integer_values: bool = True,
+) -> DataFrame:
+    """Aggregate a long points view into one retention tier.
+
+    Output: ``(key, bucket_ts, min_value, max_value, sum_value,
+    count_value, mean_value)``. With ``integer_values`` the sum is kept
+    as BIGINT (exact, associative -> bit-exact cascade).
+    """
+    trunc = TIER_TRUNC[tier]
+    sum_type = "bigint" if integer_values else "double"
+    out = (
+        points_df.groupBy(
+            F.col(key_col),
+            F.date_trunc(trunc, F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(*_agg_exprs(value_col, sum_type))
+    )
+    return out.withColumn(
+        "mean_value",
+        F.col("sum_value").cast("double") / F.col("count_value"),
+    )
+
+
+def cascade_tier(
+    finer_df: DataFrame,
+    tier: str,
+    key_col: str = "doc_id",
+    integer_values: bool = True,
+) -> DataFrame:
+    """Coarser tier from a finer tier (1m -> 1h -> 1d), exactly.
+
+    min/max compose as min-of-min / max-of-max; sum and count add. The
+    derived mean is therefore identical to a direct rollup from raw.
+    """
+    trunc = TIER_TRUNC[tier]
+    sum_type = "bigint" if integer_values else "double"
+    out = (
+        finer_df.groupBy(
+            F.col(key_col),
+            F.date_trunc(trunc, F.col("bucket_ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.sum("sum_value").cast(sum_type).alias("sum_value"),
+            F.sum("count_value").alias("count_value"),
+        )
+    )
+    return out.withColumn(
+        "mean_value",
+        F.col("sum_value").cast("double") / F.col("count_value"),
+    )
+
+
+def rollup_all_tiers(
+    points_df: DataFrame,
+    key_col: str = "doc_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    integer_values: bool = True,
+) -> dict[str, DataFrame]:
+    """The full cascade. The 1m tier is the only scan of raw points."""
+    tiers: dict[str, DataFrame] = {}
+    tiers["1m"] = rollup_tier(
+        points_df, "1m", key_col, ts_col, value_col, integer_values
+    )
+    tiers["1h"] = cascade_tier(tiers["1m"], "1h", key_col, integer_values)
+    tiers["1d"] = cascade_tier(tiers["1h"], "1d", key_col, integer_values)
+    return tiers
+
+
+def write_tier(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Full-write tier sink (SURVEY.md C2), partitioned for pruning.
+
+    Iceberg variant on a real cluster: ``df.writeTo(tbl).createOrReplace()``
+    with ``days(bucket_ts)`` partition transform; sandbox uses parquet
+    with an explicit ``bucket_date`` partition column.
+    """
+    (
+        df.withColumn("bucket_date", F.to_date("bucket_ts"))
+        .repartition("bucket_date")
+        .write.mode(mode)
+        .partitionBy("bucket_date")
+        .parquet(path)
+    )
