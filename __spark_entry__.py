@@ -2,8 +2,13 @@
 
 ``entry(spark)`` — flagship tier-rollup pipeline at sf0.001.
 ``queries()`` / ``oracle_sql()`` — per-operator DuckDB-checked queries
-(SURVEY.md §2 inventory). Float aggregates are rounded identically on
-both sides so the driver's value-hash compares stably.
+(SURVEY.md §2 inventory).
+
+Float aggregates are rounded with a cross-engine-stable floor scheme
+(see ``_sround``) so the driver's value-hash compares stably: Spark's
+``round()`` (BigDecimal HALF_UP) and DuckDB's ``round()`` can disagree
+on the SAME double at a .5 boundary, whereas ``floor(x*10^d + 0.5)/10^d``
+is a pure fp op sequence — identical inputs, identical outputs.
 """
 
 from __future__ import annotations
@@ -16,6 +21,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sround(col, digits: int):
+    """Cross-engine-stable rounding. SQL twin: floor(x*10^d + 0.5)/10^d."""
+    if isinstance(col, str):
+        col = F.col(col)
+    s = float(10**digits)
+    return F.floor(col * s + F.lit(0.5)) / F.lit(s)
+
+
+def _sql_round(expr: str, digits: int) -> str:
+    s = 10**digits
+    return f"floor(({expr}) * {s}.0 + 0.5) / {s}.0"
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -58,22 +76,22 @@ def _q_tier_1m_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "doc_id",
         "bucket_ts",
-        F.round("min_value", 6).alias("min_value"),
-        F.round("max_value", 6).alias("max_value"),
-        F.round("sum_value", 4).alias("sum_value"),
+        _sround("min_value", 6).alias("min_value"),
+        _sround("max_value", 6).alias("max_value"),
+        _sround("sum_value", 4).alias("sum_value"),
         "count_value",
-        F.round("mean_value", 6).alias("mean_value"),
+        _sround("mean_value", 6).alias("mean_value"),
     )
 
 
-_SQL_TIER_1M_EVENTS = """
+_SQL_TIER_1M_EVENTS = f"""
 SELECT user_id AS doc_id,
        date_trunc('minute', ts) AS bucket_ts,
-       round(min(value), 6) AS min_value,
-       round(max(value), 6) AS max_value,
-       round(sum(value), 4) AS sum_value,
+       {_sql_round('min(value)', 6)} AS min_value,
+       {_sql_round('max(value)', 6)} AS max_value,
+       {_sql_round('sum(value)', 4)} AS sum_value,
        count(value) AS count_value,
-       round(sum(value) / count(value), 6) AS mean_value
+       {_sql_round('sum(value) / count(value)', 6)} AS mean_value
 FROM events
 GROUP BY 1, 2
 """
@@ -92,20 +110,20 @@ def _q_tier_cascade_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t1h.select(
         "doc_id",
         "bucket_ts",
-        F.round("min_value", 6).alias("min_value"),
-        F.round("max_value", 6).alias("max_value"),
+        _sround("min_value", 6).alias("min_value"),
+        _sround("max_value", 6).alias("max_value"),
         "count_value",
-        F.round("mean_value", 6).alias("mean_value"),
+        _sround("mean_value", 6).alias("mean_value"),
     )
 
 
-_SQL_TIER_1H_DIRECT = """
+_SQL_TIER_1H_DIRECT = f"""
 SELECT user_id AS doc_id,
        date_trunc('hour', ts) AS bucket_ts,
-       round(min(value), 6) AS min_value,
-       round(max(value), 6) AS max_value,
+       {_sql_round('min(value)', 6)} AS min_value,
+       {_sql_round('max(value)', 6)} AS max_value,
        count(value) AS count_value,
-       round(sum(value) / count(value), 6) AS mean_value
+       {_sql_round('sum(value) / count(value)', 6)} AS mean_value
 FROM events
 GROUP BY 1, 2
 """
@@ -114,27 +132,26 @@ GROUP BY 1, 2
 def _q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9/C10/C16/C20 plumbing: TPC-H Q1-style pricing summary."""
     li = _load(spark, sf_dir, "lineitem")
-    out = (
+    return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
+            _sround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _sround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _sround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
-    return out
 
 
-_SQL_LINEITEM_PRICING = """
+_SQL_LINEITEM_PRICING = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       {_sql_round('sum(l_quantity)', 2)} AS sum_qty,
+       {_sql_round('sum(l_extendedprice)', 2)} AS sum_base_price,
+       {_sql_round('sum(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -150,14 +167,16 @@ def _q_explode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "component")
     ).select(
-        "vec_id", "pos", F.round(F.col("component").cast("double"), 5).alias("component")
+        "vec_id",
+        "pos",
+        _sround(F.col("component").cast("double"), 5).alias("component"),
     )
 
 
-_SQL_EXPLODE_POSITIONS = """
+_SQL_EXPLODE_POSITIONS = f"""
 SELECT vec_id,
        CAST(u.pos - 1 AS INT) AS pos,
-       round(CAST(u.component AS DOUBLE), 5) AS component
+       {_sql_round('CAST(u.component AS DOUBLE)', 5)} AS component
 FROM (
   SELECT vec_id,
          unnest(embedding) AS component,
@@ -167,12 +186,239 @@ FROM (
 """
 
 
+def _events_tier_1m_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded slice (20 keys x 2 days): the dense 1m grid over the full
+    # 30-day x 150-key table would be ~6.5M rows — pointless for a
+    # correctness check and heavy for the driver's value-hash.
+    from tsclust_spark.operators.rollup import rollup_tier
+
+    points = (
+        _load(spark, sf_dir, "events")
+        .filter((F.col("user_id") <= 20) & (F.col("ts") < F.lit("2024-01-03")))
+        .select(F.col("user_id").alias("doc_id"), "ts", "value")
+    )
+    t = rollup_tier(points, "1m", integer_values=False)
+    return t.select(
+        "doc_id", "bucket_ts", _sround("mean_value", 6).alias("mean_value")
+    )
+
+
+_SQL_TIER_CTE = f"""
+WITH tier AS (
+  SELECT user_id AS doc_id,
+         date_trunc('minute', ts) AS bucket_ts,
+         {_sql_round('sum(value) / count(value)', 6)} AS mean_value
+  FROM events
+  WHERE user_id <= 20 AND ts < TIMESTAMP '2024-01-03'
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT doc_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM tier GROUP BY 1
+), grid AS (
+  SELECT doc_id, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket_ts
+  FROM bounds
+), joined AS (
+  SELECT g.doc_id, g.bucket_ts, t.mean_value AS obs
+  FROM grid g LEFT JOIN tier t USING (doc_id, bucket_ts)
+)
+"""
+
+
+def _q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18: LOCF gap-fill of the 1m tier."""
+    from tsclust_spark.operators.gapfill import fill_gaps
+
+    tier = _events_tier_1m_rounded(spark, sf_dir)
+    return fill_gaps(tier, "1m", method="locf")
+
+
+_SQL_GAPFILL_LOCF = _SQL_TIER_CTE + """
+SELECT doc_id, bucket_ts,
+       last_value(obs IGNORE NULLS) OVER (
+         PARTITION BY doc_id ORDER BY bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mean_value,
+       obs IS NULL AS filled
+FROM joined
+"""
+
+
+def _q_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19: linear-interpolation gap-fill of the 1m tier."""
+    from tsclust_spark.operators.gapfill import fill_gaps
+
+    tier = _events_tier_1m_rounded(spark, sf_dir)
+    out = fill_gaps(tier, "1m", method="linear")
+    return out.select(
+        "doc_id",
+        "bucket_ts",
+        _sround("mean_value", 4).alias("mean_value"),
+        "filled",
+    )
+
+
+_SQL_GAPFILL_LINEAR = _SQL_TIER_CTE + f"""
+, walls AS (
+  SELECT doc_id, bucket_ts, obs,
+    last_value(obs IGNORE NULLS) OVER (
+      PARTITION BY doc_id ORDER BY bucket_ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN obs IS NOT NULL THEN epoch(bucket_ts) END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY bucket_ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+    first_value(obs IGNORE NULLS) OVER (
+      PARTITION BY doc_id ORDER BY bucket_ts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN obs IS NOT NULL THEN epoch(bucket_ts) END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY bucket_ts
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM joined
+)
+SELECT doc_id, bucket_ts,
+  {_sql_round('''CASE WHEN obs IS NOT NULL THEN obs
+       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+         prev_v + (next_v - prev_v) * (epoch(bucket_ts) - prev_t)
+                  / nullif(next_t - prev_t, 0)
+  END''', 4)} AS mean_value,
+  obs IS NULL AS filled
+FROM walls
+"""
+
+
+def _q_salted_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: two-stage salted aggregation over the skewed source column —
+    oracle is the plain GROUP BY, proving the salted plan is exact."""
+    from tsclust_spark.operators.salting import salted_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    return salted_stats(
+        docs, group_col="source", value_col="n_chars", salt_from="doc_id"
+    )
+
+
+_SQL_SALTED_SOURCE_STATS = """
+SELECT source,
+       count(*) AS count_value,
+       sum(n_chars) AS sum_value,
+       min(n_chars) AS min_value,
+       max(n_chars) AS max_value,
+       sum(n_chars) * 1.0 / count(*) AS mean_value
+FROM documents
+GROUP BY source
+"""
+
+
+def _q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20: deterministic per-group top-k (top 3 orders by price)."""
+    from tsclust_spark.operators.basic import top_k_per_group
+
+    orders = _load(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        group_cols=["o_custkey"],
+        order_col="o_totalprice",
+        k=3,
+        tiebreak_col="o_orderkey",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", _sround("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+_SQL_TOPK_ORDERS = f"""
+SELECT o_custkey, o_orderkey, {_sql_round('o_totalprice', 2)} AS o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def _q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: equi-join chain with an explicit broadcast of the small dims."""
+    cust = _load(spark, sf_dir, "customer")
+    nation = _load(spark, sf_dir, "nation")
+    orders = _load(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _sround(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_SQL_REVENUE_PER_NATION = f"""
+SELECT n_name,
+       {_sql_round('sum(o_totalprice)', 2)} AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _q_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21: exact distinct-count metrics."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("event_type").alias("exact_distinct"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+
+
+_SQL_DISTINCT_EVENT_TYPES = """
+SELECT count(DISTINCT event_type) AS exact_distinct,
+       count(*) AS total_rows
+FROM events
+"""
+
+
+def _q_semi_anti_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: left-semi + left-anti joins (the resume-skip shape): orders
+    from customers that exist (semi) minus orders shipped in lineitem
+    (anti on orderkey)."""
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    li = _load(spark, sf_dir, "lineitem")
+    with_cust = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    )
+    no_lines = with_cust.join(
+        li.select("l_orderkey").distinct(),
+        with_cust.o_orderkey == F.col("l_orderkey"),
+        "left_anti",
+    )
+    return no_lines.select("o_orderkey", "o_custkey")
+
+
+_SQL_SEMI_ANTI = """
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer)
+  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tier_1m_events": _q_tier_1m_events,
         "tier_cascade_1h_events": _q_tier_cascade_1h_events,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "explode_positions": _q_explode_positions,
+        "gapfill_locf": _q_gapfill_locf,
+        "gapfill_linear": _q_gapfill_linear,
+        "salted_source_stats": _q_salted_source_stats,
+        "topk_orders_per_customer": _q_topk_orders_per_customer,
+        "revenue_per_nation": _q_revenue_per_nation,
+        "distinct_event_types": _q_distinct_event_types,
+        "semi_anti_resume": _q_semi_anti_resume,
     }
 
 
@@ -182,4 +428,11 @@ def oracle_sql() -> dict[str, str]:
         "tier_cascade_1h_events": _SQL_TIER_1H_DIRECT,
         "lineitem_pricing_summary": _SQL_LINEITEM_PRICING,
         "explode_positions": _SQL_EXPLODE_POSITIONS,
+        "gapfill_locf": _SQL_GAPFILL_LOCF,
+        "gapfill_linear": _SQL_GAPFILL_LINEAR,
+        "salted_source_stats": _SQL_SALTED_SOURCE_STATS,
+        "topk_orders_per_customer": _SQL_TOPK_ORDERS,
+        "revenue_per_nation": _SQL_REVENUE_PER_NATION,
+        "distinct_event_types": _SQL_DISTINCT_EVENT_TYPES,
+        "semi_anti_resume": _SQL_SEMI_ANTI,
     }
