@@ -406,8 +406,102 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer)
 """
 
 
+def _q_window_rep_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C27 (scalar form): lower-medoid representative per rollup window."""
+    from tsclust_spark.kernels.barycenter import window_representative
+
+    points = _load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("doc_id"), "ts", "value"
+    )
+    rep = window_representative(points, "1h")
+    return rep.select(
+        "doc_id", "bucket_ts", _sround("rep_value", 6).alias("rep_value")
+    )
+
+
+_SQL_WINDOW_REP_1H = f"""
+SELECT user_id AS doc_id,
+       date_trunc('hour', ts) AS bucket_ts,
+       {_sql_round("(list_sort(list(value)))[CAST((count(*) + 1) // 2 AS INT)]", 6)}
+         AS rep_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25: bit-exact round-trip gate — oracle is the constant-true table,
+    so any codec regression hash-mismatches."""
+    from tsclust_spark.kernels.codec import roundtrip_ok
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("doc_id"),
+        F.transform(F.col("embedding"), lambda x: (x * 1000).cast("int")).alias(
+            "tokens"
+        ),
+    )
+    return roundtrip_ok(emb)
+
+
+_SQL_CODEC_ROUNDTRIP = """
+SELECT CAST(vec_id AS VARCHAR) AS doc_id, true AS ok FROM embeddings
+"""
+
+
+def _q_dtw_pairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26/C13: banded DTW over all pairs of a bounded block (non-SQL
+    kernel -> rows-only driver check; pytest holds the numpy oracle)."""
+    from tsclust_spark.kernels.dtw import dtw_distance_matrix
+
+    emb = (
+        _load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 24)
+        .select(
+            F.col("vec_id").cast("string").alias("doc_id"),
+            F.col("embedding").alias("tokens"),
+        )
+    )
+    dm = dtw_distance_matrix(
+        emb,
+        pattern_name="symmetric2",
+        global_constraint="sakoe_chiba",
+        sakoe_chiba_radius=2,
+    )
+    return dm.select("id_a", "id_b", _sround("dist", 6).alias("dist"))
+
+
+def _q_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C28: per-block DTW k-medoids cluster assignments (non-SQL kernel
+    -> rows-only driver check; pytest holds the recovery test)."""
+    from tsclust_spark.operators.cluster import cluster_sequences
+
+    emb = (
+        _load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select(
+            F.col("vec_id").cast("string").alias("doc_id"),
+            F.col("embedding").alias("tokens"),
+            F.pmod(F.col("label"), F.lit(2)).cast("string").alias("blk"),
+        )
+    )
+    out = cluster_sequences(
+        emb, k=3, block_col="blk", band=2, max_series_per_block=128
+    )
+    return out.select(
+        "doc_id",
+        "block",
+        "cluster_id",
+        "medoid_doc_id",
+        _sround("dist_to_medoid", 6).alias("dist_to_medoid"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "window_rep_1h": _q_window_rep_1h,
+        "codec_roundtrip": _q_codec_roundtrip,
+        "dtw_pairs_sample": _q_dtw_pairs_sample,
+        "cluster_assignments": _q_cluster_assignments,
         "tier_1m_events": _q_tier_1m_events,
         "tier_cascade_1h_events": _q_tier_cascade_1h_events,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
@@ -424,6 +518,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "window_rep_1h": _SQL_WINDOW_REP_1H,
+        "codec_roundtrip": _SQL_CODEC_ROUNDTRIP,
+        # dtw_pairs_sample / cluster_assignments: non-SQL-expressible
+        # kernels (rows-only driver check; numpy oracles in tests/)
         "tier_1m_events": _SQL_TIER_1M_EVENTS,
         "tier_cascade_1h_events": _SQL_TIER_1H_DIRECT,
         "lineitem_pricing_summary": _SQL_LINEITEM_PRICING,
