@@ -1,0 +1,97 @@
+"""Resume/checkpoint semantics (SURVEY.md §5.2.6, FIXTURES.md §4):
+an interrupted run + resume produces byte-identical tier tables to a
+clean full run, and completed units are not recomputed."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsclust_spark.plans.manifest import Manifest
+from tsclust_spark.plans.rollup_job import run_rollup
+from tsclust_spark.sources.datagen import read_sequences
+
+N_UNITS = 8
+
+
+@pytest.fixture(scope="module")
+def seq(spark):
+    # 200 docs is plenty to populate all 8 units
+    return read_sequences(spark, "smoke").limit(200).cache()
+
+
+def _read_tier(spark, out, tier):
+    return spark.read.parquet(f"{out}/agg_{tier}").drop("unit", "bucket_date")
+
+
+@pytest.mark.spark
+def test_interrupted_then_resumed_equals_clean(spark, seq, tmp_path_factory):
+    clean = str(tmp_path_factory.mktemp("clean"))
+    resumed = str(tmp_path_factory.mktemp("resumed"))
+
+    s_clean = run_rollup(spark, seq, clean, n_units=N_UNITS, write_raw=False)
+    assert s_clean["units_processed"] == N_UNITS
+    assert s_clean["points"] > 0
+
+    # simulate a kill after 3 units, then resume
+    s1 = run_rollup(
+        spark, seq, resumed, n_units=N_UNITS, max_units=3, write_raw=False
+    )
+    assert s1["units_processed"] == 3
+    s2 = run_rollup(spark, seq, resumed, n_units=N_UNITS, write_raw=False)
+    # resume processed ONLY the remaining units
+    assert s2["units_processed"] == N_UNITS - 3
+
+    for tier in ["1m", "1h", "1d"]:
+        a = _read_tier(spark, clean, tier)
+        b = _read_tier(spark, resumed, tier)
+        assert a.count() == b.count(), tier
+        assert a.exceptAll(b).count() == 0, tier
+        assert b.exceptAll(a).count() == 0, tier
+
+    # a further rerun is a no-op (all units complete)
+    s3 = run_rollup(spark, seq, resumed, n_units=N_UNITS, write_raw=False)
+    assert s3["units_processed"] == 0
+
+
+@pytest.mark.spark
+def test_manifest_metrics_recorded(spark, seq, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("metrics"))
+    run_rollup(spark, seq, out, n_units=4, write_raw=False)
+    m = Manifest(spark, f"{out}/_manifest").metrics().collect()
+    assert len(m) == 4
+    for r in m:
+        assert r.status == "done"
+        assert r.points_per_sec > 0 or r.points == 0
+        assert '"n_units": 4' in r.lineage
+
+
+@pytest.mark.spark
+def test_raw_tier_blocks_written(spark, seq, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("raw"))
+    run_rollup(spark, seq.limit(50), out, n_units=2, write_raw=True)
+    raw = spark.read.parquet(f"{out}/raw")
+    assert raw.count() == 50
+    assert set(["doc_id", "n", "t0", "dod", "xor"]).issubset(set(raw.columns))
+    # compressed payloads beat raw 8B/value overall on the token walk
+    tot = raw.agg(
+        F.sum(F.length("xor")).alias("xb"), F.sum("n").alias("n")
+    ).collect()[0]
+    assert tot.xb < tot.n * 8
+
+
+@pytest.mark.spark
+def test_tier_parity_vs_direct_rollup(spark, seq, tmp_path_factory):
+    """The unit-sliced, merged output equals a direct whole-table rollup."""
+    from tsclust_spark.operators.explode import explode_to_points
+    from tsclust_spark.plans.rollup_job import build_tiers_with_rep
+
+    out = str(tmp_path_factory.mktemp("parity"))
+    run_rollup(spark, seq, out, n_units=N_UNITS, write_raw=False)
+    points = explode_to_points(seq, keep_source=False)
+    direct = build_tiers_with_rep(points)
+    for tier in ["1m", "1h", "1d"]:
+        got = _read_tier(spark, out, tier)
+        want = direct[tier]
+        assert got.exceptAll(want).count() == 0, tier
+        assert want.exceptAll(got).count() == 0, tier

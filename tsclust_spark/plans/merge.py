@@ -1,0 +1,79 @@
+"""Incremental tier sink: MERGE-equivalent upsert (SURVEY.md C3).
+
+On a cluster with an Iceberg catalog this is literally::
+
+    MERGE INTO tier t USING updates u
+    ON t.doc_id = u.doc_id AND t.bucket_ts = u.bucket_ts
+    WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+
+(:func:`iceberg_merge_sql` emits exactly that statement). The sandbox
+has no catalog, so the fallback implements the same semantics on
+partitioned parquet: only the partitions present in the updates are
+read back, merged row-wise (anti-join out the replaced keys, union the
+updates), and replaced via dynamic partition overwrite — unchanged
+partitions are never touched, which is the property that matters at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def iceberg_merge_sql(target: str, source_view: str, key_cols: list[str]) -> str:
+    on = " AND ".join(f"t.{k} = u.{k}" for k in key_cols)
+    return (
+        f"MERGE INTO {target} t USING {source_view} u ON {on} "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+) -> None:
+    """Parquet MERGE fallback with partition-level surgical replace.
+
+    ``updates`` must contain the partition columns. Requires
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set here per
+    write) so ``mode("overwrite")`` replaces only the partitions present
+    in the written frame.
+    """
+    updates = updates.persist()
+    try:
+        if _path_exists(spark, target_path):
+            current = spark.read.parquet(target_path)
+            # restrict the read-back to affected partitions (pruned scan)
+            parts = updates.select(*partition_cols).distinct()
+            affected = current.join(F.broadcast(parts), partition_cols, "left_semi")
+            keep = affected.join(
+                updates.select(*key_cols).distinct(), key_cols, "left_anti"
+            )
+            merged = keep.unionByName(updates.select(*keep.columns))
+            # truncate lineage: the write below overwrites the very path
+            # the plan reads; localCheckpoint materializes first (on a
+            # cluster use a reliable checkpoint dir instead)
+            merged = merged.localCheckpoint(eager=True)
+        else:
+            merged = updates
+        (
+            merged.repartition(*partition_cols)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(target_path)
+        )
+    finally:
+        updates.unpersist()

@@ -1,0 +1,142 @@
+"""The resumable rollup job: sequences -> compressed raw + tier cascade
+(the north-star pipeline: BASELINE.json:6).
+
+Unit of work = ``pmod(hash(doc_id), n_units)`` slice. Per unit:
+
+1. scan the sequence table, filter to the unit (C1/C10)
+2. Gorilla-compress each row -> ``raw`` retention tier (C23/C24)
+3. explode to points (C7) -> 1m/1h/1d continuous aggregates (C16/C17)
+   with exact cascaded mean and a lower-medoid ``rep_value`` per window
+   (C27) cascading medoid-of-medoids
+4. MERGE each tier into its partitioned target (C3), partitions
+   ``(unit, bucket_date)`` so units never touch each other's files
+5. append a manifest record with lineage + points/sec (C4)
+
+A killed job resumes by skipping manifest-complete units. Tier tables
+are identical whether produced by one run or any interrupted/resumed
+sequence of runs (asserted by tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsclust_spark.kernels.barycenter import window_representative
+from tsclust_spark.kernels.codec import compress_sequences
+from tsclust_spark.operators.explode import explode_to_points
+from tsclust_spark.operators.rollup import TIER_ORDER, cascade_tier, rollup_tier
+from tsclust_spark.plans.manifest import Manifest
+from tsclust_spark.plans.merge import upsert_partitioned
+
+TIER_KEYS = ["doc_id", "bucket_ts"]
+
+
+def build_tiers_with_rep(points: DataFrame) -> dict[str, DataFrame]:
+    """1m/1h/1d aggregates + cascaded medoid rep_value, all exact."""
+    tiers: dict[str, DataFrame] = {}
+    agg = rollup_tier(points, "1m", integer_values=True)
+    rep = window_representative(points, "1m")
+    tiers["1m"] = agg.join(rep, TIER_KEYS)
+    prev = tiers["1m"]
+    for tier in TIER_ORDER[1:]:
+        agg = cascade_tier(prev, tier, integer_values=True)
+        # medoid-of-medoids: representative of the coarser window is the
+        # lower medoid of the finer windows' representatives
+        rep = window_representative(
+            prev, tier, ts_col="bucket_ts", value_col="rep_value"
+        )
+        tiers[tier] = agg.join(rep, TIER_KEYS)
+        prev = tiers[tier]
+    return tiers
+
+
+def run_unit(
+    spark: SparkSession,
+    seq: DataFrame,
+    unit: int,
+    n_units: int,
+    out_dir: str,
+    write_raw: bool = True,
+) -> tuple[int, int]:
+    """Process one work unit; returns (rows, points)."""
+    part = seq.filter(F.pmod(F.hash("doc_id"), F.lit(n_units)) == unit)
+    stats = part.agg(
+        F.count(F.lit(1)).alias("rows"), F.coalesce(F.sum("n_tok"), F.lit(0)).alias("pts")
+    ).collect()[0]
+    rows, points_n = int(stats.rows), int(stats.pts)
+    if rows == 0:
+        return 0, 0
+
+    if write_raw:
+        blocks = compress_sequences(part).withColumn("unit", F.lit(unit))
+        upsert_partitioned(
+            spark,
+            f"{out_dir}/raw",
+            blocks,
+            key_cols=["doc_id"],
+            partition_cols=["unit"],
+        )
+
+    points = explode_to_points(part, keep_source=False)
+    for tier, df in build_tiers_with_rep(points).items():
+        out = df.withColumn("unit", F.lit(unit)).withColumn(
+            "bucket_date", F.to_date("bucket_ts")
+        )
+        upsert_partitioned(
+            spark,
+            f"{out_dir}/agg_{tier}",
+            out,
+            key_cols=TIER_KEYS,
+            partition_cols=["unit", "bucket_date"],
+        )
+    return rows, points_n
+
+
+def run_rollup(
+    spark: SparkSession,
+    seq: DataFrame,
+    out_dir: str,
+    n_units: int = 16,
+    resume: bool = True,
+    max_units: int | None = None,
+    write_raw: bool = True,
+) -> dict:
+    """Full (resumable) rollup over all units; returns summary metrics."""
+    manifest = Manifest(spark, f"{out_dir}/_manifest")
+    all_units = [str(u) for u in range(n_units)]
+    units = manifest.pending_units(all_units) if resume else all_units
+    if max_units is not None:
+        units = units[:max_units]
+
+    total_rows = total_points = 0
+    t_start = time.time()
+    for u in units:
+        t0 = time.time()
+        rows, pts = run_unit(spark, seq, int(u), n_units, out_dir, write_raw)
+        wall_ms = (time.time() - t0) * 1000.0
+        manifest.record(
+            u,
+            "done",
+            rows=rows,
+            points=pts,
+            wall_ms=wall_ms,
+            lineage={
+                "out_dir": out_dir,
+                "n_units": n_units,
+                "tiers": TIER_ORDER,
+                "write_raw": write_raw,
+            },
+        )
+        total_rows += rows
+        total_points += pts
+    wall = time.time() - t_start
+    return {
+        "units_processed": len(units),
+        "rows": total_rows,
+        "points": total_points,
+        "wall_sec": wall,
+        "points_per_sec": total_points / wall if wall > 0 else 0.0,
+    }
