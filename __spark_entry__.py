@@ -496,12 +496,416 @@ def _q_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+def _docs_with_seeded_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic copies of docs 0-4 (ids +100000) so the
+    exact-dedup operators have actual duplicates to find."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dups)
+
+
+_SQL_DOCS_SEEDED = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 5
+"""
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5 hash-groupBy (seeded duplicates)."""
+    from tsclust_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs_with_seeded_dups(spark, sf_dir))
+
+
+_SQL_DEDUP_EXACT = f"""
+WITH seeded AS ({_SQL_DOCS_SEEDED}),
+hashed AS (
+  SELECT md5(text) AS text_md5, doc_id,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+  FROM seeded
+)
+SELECT text_md5, canonical_id, doc_id AS dup_id
+FROM hashed WHERE doc_id <> canonical_id
+"""
+
+_SHINGLE_K = 3
+
+_SQL_SHINGLES = f"""
+words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM seeded
+),
+shing AS (
+  SELECT DISTINCT doc_id,
+    CASE WHEN len(ws) >= {_SHINGLE_K}
+         THEN array_to_string(ws[i:i+{_SHINGLE_K - 1}], ' ')
+         ELSE array_to_string(ws, ' ') END AS shingle
+  FROM words,
+       unnest(range(1, greatest(len(ws) - {_SHINGLE_K} + 1, 1) + 1)) AS t(i)
+  WHERE i <= greatest(len(ws) - {_SHINGLE_K} + 1, 1)
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shing GROUP BY 1)
+"""
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct n-gram Jaccard near-dup pairs (no LSH) — the exact
+    semantics the LSH pipeline approximates."""
+    from tsclust_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _docs_with_seeded_dups(spark, sf_dir), k=_SHINGLE_K, threshold=0.5
+    )
+    return out.select("id_a", "id_b", _sround("jaccard", 6).alias("jaccard"))
+
+
+_SQL_DEDUP_NGRAM = f"""
+WITH seeded AS ({_SQL_DOCS_SEEDED}),
+{_SQL_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       {_sql_round('n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common)', 6)} AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+"""
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline (md5 minhashes -> band buckets ->
+    exact-Jaccard verify). The oracle reproduces the full pipeline."""
+    from tsclust_spark.operators.dedup import minhash_near_duplicates
+
+    out = minhash_near_duplicates(
+        _docs_with_seeded_dups(spark, sf_dir),
+        k=_SHINGLE_K,
+        num_hashes=16,
+        bands=4,
+        rows_per_band=4,
+        threshold=0.5,
+    )
+    return out.select("id_a", "id_b", _sround("jaccard", 6).alias("jaccard"))
+
+
+_SQL_DEDUP_MINHASH = f"""
+WITH seeded AS ({_SQL_DOCS_SEEDED}),
+{_SQL_SHINGLES},
+sig AS (
+  SELECT doc_id, seed, min(md5(seed || '|' || shingle)) AS minhash
+  FROM shing, unnest(range(0, 16)) AS s(seed)
+  GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS bucket
+  FROM sig GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN shing a ON a.doc_id = c.id_a
+  JOIN shing b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       {_sql_round('n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common)', 6)} AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+"""
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 6 on 32-bit signatures).
+
+    The Spark side uses the pigeonhole block trick (full recall for
+    d < n_blocks); the oracle computes the same set by direct cross
+    join — identical results, different physical plan."""
+    from tsclust_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(
+        _docs_with_seeded_dups(spark, sf_dir), max_hamming=1, n_blocks=4
+    )
+
+
+_SQL_SIMHASH_WORDHASH = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+    "list_transform(string_split(word, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, c) -> (acc * 31 + c) % 2147483647)"
+)
+
+_SQL_SIMHASH_SIG = f"""
+wordlists AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM seeded
+),
+whashed AS (
+  SELECT doc_id, {_SQL_SIMHASH_WORDHASH} AS h
+  FROM wordlists WHERE len(word) > 0
+),
+votes AS (
+  SELECT doc_id,
+    {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(32))}
+  FROM whashed GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+    CAST({" + ".join(f"(CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(32))} AS BIGINT) AS simhash
+  FROM votes
+)
+"""
+
+_SQL_SIMHASH_NEAR = f"""
+WITH seeded AS ({_SQL_DOCS_SEEDED}),
+{_SQL_SIMHASH_SIG}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+"""
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (k=5) for 20 query vectors."""
+    from tsclust_spark.operators.similarity import cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    out = cosine_topk(emb, q, k=5)
+    return out.select(
+        "query_id", "cand_id", _sround("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+_SQL_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS cand_id, embedding AS cvec FROM embeddings),
+scored AS (
+  SELECT query_id, cand_id,
+    list_reduce(list_prepend(0.0, list_transform(range(1, len(qvec) + 1),
+      i -> CAST(qvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE))), (a, v) -> a + v)
+    / (sqrt(list_reduce(list_prepend(0.0, list_transform(qvec,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, v) -> a + v))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform(cvec,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, v) -> a + v)))
+    AS cosine
+  FROM c JOIN q ON query_id <> cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, {_sql_round('cosine', 6)} AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dups with seeded exact copies.
+
+    At threshold 0.95 the only qualifying pairs on this data are the
+    seeded identical vectors (max natural cosine ~0.48), and identical
+    vectors always share an LSH bucket, so the LSH result is provably
+    equal to the oracle's direct cross join."""
+    from tsclust_spark.operators.similarity import embedding_near_duplicates
+
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeded = emb.unionByName(
+        emb.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    out = embedding_near_duplicates(seeded, threshold=0.95, n_planes=4)
+    return out.select("id_a", "id_b", _sround("cosine", 6).alias("cosine"))
+
+
+_SQL_EMB_NEAR_DUPS = f"""
+WITH seeded AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
+),
+a AS (SELECT vec_id AS id_a, embedding AS va FROM seeded),
+b AS (SELECT vec_id AS id_b, embedding AS vb FROM seeded),
+scored AS (
+  SELECT id_a, id_b,
+    list_reduce(list_prepend(0.0, list_transform(range(1, len(va) + 1),
+      i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))), (x, v) -> x + v)
+    / (sqrt(list_reduce(list_prepend(0.0, list_transform(va,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, v) -> x + v))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform(vb,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, v) -> x + v)))
+    AS cosine
+  FROM a JOIN b ON id_a < id_b
+)
+SELECT id_a, id_b, {_sql_round('cosine', 6)} AS cosine
+FROM scored WHERE cosine >= 0.95
+"""
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsclust_spark.operators.textstats import token_count
+
+    return token_count(_load(spark, sf_dir, "documents"))
+
+
+_SQL_TOKEN_COUNT = """
+SELECT doc_id,
+  len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                  w -> len(w) > 0)) AS ws_tokens,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                   w -> CAST(ceil(len(w) / 4.0) AS BIGINT))),
+    (a, v) -> a + v) AS BIGINT) AS bpe_est_tokens
+FROM documents
+"""
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsclust_spark.operators.textstats import fingerprint
+
+    return fingerprint(_load(spark, sf_dir, "documents"))
+
+
+_SQL_FINGERPRINT = """
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(1469598103 % 2147483647 AS BIGINT),
+    list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+      w -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+             list_transform(string_split(w, ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+           (a2, c) -> (a2 * 131 + c) % 2147483647))),
+    (acc, h) -> (acc * 31 + h) % 2147483647) AS fp_rolling,
+  md5(text) AS fp_md5
+FROM documents
+"""
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsclust_spark.operators.textstats import language_id
+
+    out = language_id(_load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "lang_pred", _sround("lang_score", 6).alias("lang_score")
+    )
+
+
+def _sql_lang_count(lang_markers: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in lang_markers) + "]"
+    return (
+        "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        f"w -> list_contains({arr}, w)))"
+    )
+
+
+def _make_sql_language_id() -> str:
+    from tsclust_spark.operators.textstats import _LANG_MARKERS
+
+    counts = ",\n  ".join(
+        f"{_sql_lang_count(m)} AS n_{lng}" for lng, m in _LANG_MARKERS.items()
+    )
+    langs = list(_LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"n_{lng}" for lng in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN n_{lng} = {best} THEN '{lng}'" for lng in langs
+    ) + " END"
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+  len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+  {counts}
+  FROM documents
+)
+SELECT doc_id, {case} AS lang_pred,
+       {_sql_round(best + " * 1.0 / greatest(n_words, 1)", 6)} AS lang_score
+FROM feats
+"""
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsclust_spark.operators.textstats import quality_score
+
+    out = quality_score(_load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_words",
+        _sround("mean_word_len", 6).alias("mean_word_len"),
+        _sround("alpha_ratio", 6).alias("alpha_ratio"),
+        _sround("punct_ratio", 6).alias("punct_ratio"),
+        _sround("upper_ratio", 6).alias("upper_ratio"),
+        _sround("digit_ratio", 6).alias("digit_ratio"),
+        _sround("quality", 6).alias("quality"),
+    )
+
+
+_SQL_QUALITY = f"""
+WITH feats AS (
+  SELECT doc_id,
+    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+    length(text) * 1.0
+      / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)
+      AS mean_word_len,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+      / greatest(length(text), 1) AS alpha_ratio,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+      / greatest(length(text), 1) AS punct_ratio,
+    length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
+      / greatest(length(text), 1) AS upper_ratio,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+      / greatest(length(text), 1) AS digit_ratio
+  FROM documents
+)
+SELECT doc_id, n_words,
+  {_sql_round('mean_word_len', 6)} AS mean_word_len,
+  {_sql_round('alpha_ratio', 6)} AS alpha_ratio,
+  {_sql_round('punct_ratio', 6)} AS punct_ratio,
+  {_sql_round('upper_ratio', 6)} AS upper_ratio,
+  {_sql_round('digit_ratio', 6)} AS digit_ratio,
+  {_sql_round(
+      "least(alpha_ratio / 0.7, 1.0) * 0.5"
+      " + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12"
+      " THEN 0.3 ELSE 0.0 END)"
+      " + (CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END)", 6)} AS quality
+FROM feats
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "window_rep_1h": _q_window_rep_1h,
         "codec_roundtrip": _q_codec_roundtrip,
         "dtw_pairs_sample": _q_dtw_pairs_sample,
         "cluster_assignments": _q_cluster_assignments,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "cosine_topk": _q_cosine_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "token_count": _q_token_count,
+        "fingerprint": _q_fingerprint,
+        "language_id": _q_language_id,
+        "quality_score": _q_quality_score,
         "tier_1m_events": _q_tier_1m_events,
         "tier_cascade_1h_events": _q_tier_cascade_1h_events,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
@@ -521,7 +925,17 @@ def oracle_sql() -> dict[str, str]:
         "window_rep_1h": _SQL_WINDOW_REP_1H,
         "codec_roundtrip": _SQL_CODEC_ROUNDTRIP,
         # dtw_pairs_sample / cluster_assignments: non-SQL-expressible
-        # kernels (rows-only driver check; numpy oracles in tests/)
+        # kernels (rows-only driver check; oracles live in tests/)
+        "embedding_near_dups": _SQL_EMB_NEAR_DUPS,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
+        "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
+        "simhash_near_dups": _SQL_SIMHASH_NEAR,
+        "cosine_topk": _SQL_COSINE_TOPK,
+        "token_count": _SQL_TOKEN_COUNT,
+        "fingerprint": _SQL_FINGERPRINT,
+        "language_id": _make_sql_language_id(),
+        "quality_score": _SQL_QUALITY,
         "tier_1m_events": _SQL_TIER_1M_EVENTS,
         "tier_cascade_1h_events": _SQL_TIER_1H_DIRECT,
         "lineitem_pricing_summary": _SQL_LINEITEM_PRICING,

@@ -93,5 +93,7 @@ def test_tier_parity_vs_direct_rollup(spark, seq, tmp_path_factory):
     for tier in ["1m", "1h", "1d"]:
         got = _read_tier(spark, out, tier)
         want = direct[tier]
+        cols = sorted(want.columns)
+        got, want = got.select(*cols), want.select(*cols)
         assert got.exceptAll(want).count() == 0, tier
         assert want.exceptAll(got).count() == 0, tier

@@ -440,6 +440,7 @@ def dtw_distance_matrix(
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     block_col: str | None = None,
+    repartition: int | None = None,
     **dtw_kwargs,
 ):
     """All-pairs DTW distances (upper triangle) within optional blocks.
@@ -465,4 +466,8 @@ def dtw_distance_matrix(
     if block_col:
         cond = cond & (F.col("_blk") == F.col("_blk_r"))
     pairs = left.join(right, cond).select("id_a", "id_b", "tokens_a", "tokens_b")
+    if repartition:
+        # small/limited inputs often collapse to one partition after the
+        # join; spread the CPU-bound kernel work (costs one tiny shuffle)
+        pairs = pairs.repartition(repartition)
     return dtw_pairs(pairs, **dtw_kwargs)

@@ -1,0 +1,309 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact + near-duplicate detection over the ``documents`` table shape
+``(doc_id, text, ...)``. All hashing uses cross-engine-reproducible
+primitives (md5 / explicit integer arithmetic), never engine-internal
+hash functions, so every operator here has a DuckDB oracle twin.
+
+Scale notes:
+- exact dedup: one hash-groupBy — shuffles (hash, doc_id) pairs only.
+- MinHash-LSH: shingle explode -> per-(doc, seed) min-agg -> band
+  bucket join. Candidate pairs are generated per LSH bucket (linear in
+  bucket sizes, never the global cross join); verification re-checks
+  true Jaccard on candidates only.
+- SimHash: one pass building the 64-bit signature from token hashes,
+  then bucket join on rotated prefixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (md5 of normalized text)
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical texts: (hash, canonical_id, dup_id).
+
+    Canonical = min id per group; output lists every non-canonical
+    member (the rows a dedup pass would drop).
+    """
+    hashed = df.select(
+        F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col).alias("doc_id")
+    )
+    w = Window.partitionBy("text_md5")
+    return (
+        hashed.withColumn("canonical_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("text_md5", "canonical_id", F.col("doc_id").alias("dup_id"))
+    )
+
+
+def distinct_by_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id row per exact text group (the dedup survivor set)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash LSH
+# ---------------------------------------------------------------------------
+
+def shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Distinct word k-shingles per doc: (doc_id, shingle).
+
+    Word-level shingles from lowercased, whitespace-split text —
+    ``transform`` over a split array, all JVM-side.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.when(
+                    F.size(words) >= k,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(words) - k),
+                        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+                    ),
+                ).otherwise(F.array(F.concat_ws(" ", words)))
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, seed, minhash): minhash_i = min over shingles of
+    md5(i || '|' || shingle) — lexicographic min of a hex string, which
+    DuckDB reproduces exactly. One explode + one min-groupBy."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    exploded = shingle_df.select("doc_id", "shingle", seeds)
+    return exploded.groupBy("doc_id", "seed").agg(
+        F.min(
+            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle")))
+        ).alias("minhash")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band signatures -> bucket join -> candidate pairs (id_a < id_b).
+
+    Docs agreeing on ALL rows of at least one band become candidates.
+    The join is per (band, bucket) — linear in bucket sizes.
+    """
+    banded = (
+        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("bucket"))
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), "band", "bucket"
+    )
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    shingle_df: DataFrame, candidates: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """True Jaccard on candidate pairs only: |A∩B| / |A∪B| via a
+    shingle join + per-pair counts. Returns pairs >= threshold."""
+    sizes = shingle_df.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sa = shingle_df.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = shingle_df.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        candidates.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("n_shingles", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("n_shingles", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
+    candidates -> exact-Jaccard verify."""
+    sh = shingles(df, text_col, id_col, k)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sig, bands, rows_per_band)
+    return jaccard_verify(sh, cand, threshold)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (direct, for bounded inputs / verification)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs exact shingle Jaccard >= threshold (shingle join, no
+    LSH): use only on bounded/blocked inputs."""
+    sh = shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("n_shingles", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("n_shingles", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, arithmetic token hash reproducible in SQL)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32  # 32 bits keeps every intermediate in exact BIGINT range
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash): sign-sum of per-word hash bits.
+
+    Word hash = polynomial rolling hash mod 2^31-1 (explicit integer
+    arithmetic — identical in any SQL engine). Bit b of the signature is
+    1 iff more words have bit b set than unset. 32 bits (not 64) so the
+    per-bit popcount arithmetic stays in exact integer range everywhere.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # polynomial hash per word via aggregate over its chars
+    word_hash = lambda w: F.aggregate(  # noqa: E731
+        F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("bigint")),
+        F.lit(7).cast("bigint"),
+        lambda acc, c: (acc * 31 + c) % F.lit(2147483647),
+    )
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words).alias("word"),
+    ).filter(F.length("word") > 0)
+    hashed = hashed.select("doc_id", word_hash(F.col("word")).alias("h"))
+    # per-bit votes: sum(+1/-1 per word) > 0 -> bit set
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    votes = hashed.groupBy("doc_id").agg(*bit_cols)
+    sig = votes.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(0)).cast("bigint")
+            for b in range(SIMHASH_BITS)
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Hamming-ball near-dups via the block trick: split the signature
+    into n_blocks chunks; pairs within distance d < n_blocks must agree
+    on >= one chunk -> bucket join per chunk, verify exact distance."""
+    sig = simhash(df, text_col, id_col)
+    bits_per = SIMHASH_BITS // n_blocks
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * bits_per)
+                        .bitwiseAND(F.lit(2**bits_per - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.blk", "c.chunk")
+    a = chunks.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"), "blk", "chunk"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"), "blk", "chunk"
+    )
+    cand = (
+        a.join(b, ["blk", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

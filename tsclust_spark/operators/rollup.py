@@ -111,6 +111,69 @@ def rollup_all_tiers(
     return tiers
 
 
+def rollup_sequences_1m_fast(
+    seq_df: DataFrame,
+    t0: str = "2024-01-01 00:00:00",
+    step_seconds: int = 1,
+    with_rep: bool = True,
+) -> DataFrame:
+    """Map-only 1m tier straight from the nested sequence rows.
+
+    The mandated input keeps one doc's whole series in one row on an
+    implicit 1s grid (SURVEY.md §1.3), so each 60s bucket is a
+    contiguous ``slice`` of the tokens array: min/max/sum/count/medoid
+    are pure array expressions — **no explode of 60x the rows, and no
+    shuffle at all** for the 1m tier (each output row derives from one
+    input row). The 1h/1d cascade then shuffles only the 1m tier, 60x
+    smaller than the raw points. Requires ``t0`` minute-aligned and
+    ``60 % step_seconds == 0``.
+
+    Bit-exact equal to the explode-based
+    ``rollup_tier(explode_to_points(seq))`` path (asserted in
+    tests/test_fastpath.py).
+    """
+    if 60 % step_seconds != 0:
+        raise ValueError("fast path needs step_seconds dividing 60")
+    per_bucket = 60 // step_seconds
+    t0_expr = f"to_timestamp('{t0}')"
+
+    chunks = seq_df.filter(F.size("tokens") > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"""
+                transform(
+                  sequence(0, int(ceil(size(tokens) / {per_bucket})) - 1),
+                  b -> slice(tokens, b * {per_bucket} + 1, {per_bucket}))
+                """
+            )
+        ).alias("bucket_idx", "chunk"),
+    )
+    out = chunks.select(
+        "doc_id",
+        F.expr(
+            f"{t0_expr} + make_interval(0, 0, 0, 0, 0, bucket_idx, 0)"
+        ).alias("bucket_ts"),
+        F.array_min("chunk").alias("min_value"),
+        F.array_max("chunk").alias("max_value"),
+        F.expr("aggregate(chunk, 0L, (acc, x) -> acc + x)").alias("sum_value"),
+        F.size("chunk").cast("long").alias("count_value"),
+        *(
+            [
+                F.expr(
+                    "element_at(array_sort(chunk),"
+                    " cast((size(chunk) + 1) / 2 as int))"
+                ).alias("rep_value")
+            ]
+            if with_rep
+            else []
+        ),
+    )
+    return out.withColumn(
+        "mean_value", F.col("sum_value").cast("double") / F.col("count_value")
+    )
+
+
 def write_tier(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Full-write tier sink (SURVEY.md C2), partitioned for pruning.
 

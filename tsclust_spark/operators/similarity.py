@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — exact brute-force top-k neighbors, the
+  correctness baseline. JVM-only arithmetic (``zip_with`` dot product +
+  ``aggregate`` norms), broadcast of the query side.
+- :func:`lsh_cosine_topk` — the scale path: random-hyperplane LSH
+  buckets (sign of deterministic pseudo-random projections), candidate
+  generation per bucket, exact re-rank of candidates only.
+- :func:`embedding_near_duplicates` — near-dup pairs by cosine >=
+  threshold within LSH buckets.
+
+Deterministic everywhere: the "random" hyperplanes come from a seeded
+arithmetic hash of (plane, dim), so results are reproducible and
+SQL-oracle-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (brute force).
+
+    ``queries`` (small) is broadcast against the corpus; per-query
+    ranking is a window top-k. Cost: |queries| x |corpus| dot products,
+    all inside whole-stage codegen — the right baseline, and the right
+    tool when |queries| is small.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = df.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        )
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def _hyperplane_component(plane: int, dim_idx, mod: int = 2147483647):
+    """Deterministic pseudo-random weight in [-1, 1): explicit integer
+    arithmetic -> reproducible in any engine."""
+    h = (
+        (F.lit(plane) * 2654435761 + (dim_idx + 1) * 40503 + 12345) % mod
+    )
+    return (h.cast("double") / F.lit(float(mod))) * 2.0 - 1.0
+
+
+def lsh_bucket(
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket): bucket = sign bits of n_planes projections."""
+    vec = F.col(vec_col)
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: (x.cast("double") * _hyperplane_component(p, i)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        bucket.cast("int").alias("bucket"),
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs (cosine >= threshold) via same-bucket candidates +
+    exact verify. Linear in bucket sizes; high-cosine pairs land in the
+    same bucket with probability (1 - theta/pi)^n_planes."""
+    b = lsh_bucket(df, n_planes, id_col, vec_col)
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates.
+
+    Recall is tunable via n_planes (fewer planes -> bigger buckets ->
+    higher recall, more compute). The exact :func:`cosine_topk` is the
+    oracle for recall measurement.
+    """
+    b = lsh_bucket(df, n_planes, id_col, vec_col)
+    q = lsh_bucket(queries, n_planes, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        "bucket",
+    )
+    cand = b.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec"), "bucket"
+    )
+    scored = (
+        cand.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        )
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

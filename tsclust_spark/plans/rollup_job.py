@@ -34,21 +34,63 @@ from tsclust_spark.plans.merge import upsert_partitioned
 TIER_KEYS = ["doc_id", "bucket_ts"]
 
 
+def _cascade_with_rep(prev: DataFrame, tier: str) -> DataFrame:
+    """One combined groupBy per cascade step: decomposable stats +
+    medoid-of-medoids rep, single shuffle (vs agg + rep + join)."""
+    from tsclust_spark.operators.rollup import TIER_TRUNC
+
+    trunc = TIER_TRUNC[tier]
+    return (
+        prev.groupBy(
+            "doc_id", F.date_trunc(trunc, "bucket_ts").alias("bucket_ts")
+        )
+        .agg(
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.sum("sum_value").alias("sum_value"),
+            F.sum("count_value").alias("count_value"),
+            F.expr(
+                "element_at(sort_array(collect_list(rep_value)),"
+                " cast((size(collect_list(rep_value)) + 1) / 2 as int))"
+            ).alias("rep_value"),
+        )
+        .withColumn(
+            "mean_value", F.col("sum_value").cast("double") / F.col("count_value")
+        )
+    )
+
+
 def build_tiers_with_rep(points: DataFrame) -> dict[str, DataFrame]:
-    """1m/1h/1d aggregates + cascaded medoid rep_value, all exact."""
+    """1m/1h/1d aggregates + cascaded medoid rep_value from a points view.
+
+    Generic path for arbitrary (key, ts, value) points (e.g. events).
+    For the mandated sequence table prefer
+    :func:`build_tiers_from_sequences` (map-only 1m, 60x less shuffle).
+    """
     tiers: dict[str, DataFrame] = {}
     agg = rollup_tier(points, "1m", integer_values=True)
     rep = window_representative(points, "1m")
     tiers["1m"] = agg.join(rep, TIER_KEYS)
     prev = tiers["1m"]
     for tier in TIER_ORDER[1:]:
-        agg = cascade_tier(prev, tier, integer_values=True)
-        # medoid-of-medoids: representative of the coarser window is the
-        # lower medoid of the finer windows' representatives
-        rep = window_representative(
-            prev, tier, ts_col="bucket_ts", value_col="rep_value"
-        )
-        tiers[tier] = agg.join(rep, TIER_KEYS)
+        tiers[tier] = _cascade_with_rep(prev, tier)
+        prev = tiers[tier]
+    return tiers
+
+
+def build_tiers_from_sequences(
+    seq_df: DataFrame, t0: str = "2024-01-01 00:00:00", step_seconds: int = 1
+) -> dict[str, DataFrame]:
+    """Fast path for the mandated nested input: map-only 1m tier (array
+    slicing, zero shuffle), then cascade shuffles touch only tier rows
+    (1/60th then 1/3600th of the points). Bit-exact vs the generic path."""
+    from tsclust_spark.operators.rollup import rollup_sequences_1m_fast
+
+    tiers: dict[str, DataFrame] = {}
+    tiers["1m"] = rollup_sequences_1m_fast(seq_df, t0, step_seconds, with_rep=True)
+    prev = tiers["1m"]
+    for tier in TIER_ORDER[1:]:
+        tiers[tier] = _cascade_with_rep(prev, tier)
         prev = tiers[tier]
     return tiers
 
@@ -80,8 +122,7 @@ def run_unit(
             partition_cols=["unit"],
         )
 
-    points = explode_to_points(part, keep_source=False)
-    for tier, df in build_tiers_with_rep(points).items():
+    for tier, df in build_tiers_from_sequences(part).items():
         out = df.withColumn("unit", F.lit(unit)).withColumn(
             "bucket_date", F.to_date("bucket_ts")
         )

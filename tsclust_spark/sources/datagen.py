@@ -29,11 +29,14 @@ SIZES = {
     "smoke": (1_000, 0, 512),
     "correctness": (10_000, 0, 2048),
     "bench": (100_000, 64, 4096),
+    # scaling-evidence input: big enough that per-job fixed overhead is
+    # negligible even at local[32] (~830M points)
+    "benchxl": (400_000, 64, 4096),
 }
 
 
 def generate_sequences(
-    n_rows: int, len_lo: int, len_hi: int, seed: int = 42
+    n_rows: int, len_lo: int, len_hi: int, seed: int = 42, doc_offset: int = 0
 ) -> pa.Table:
     rng = np.random.default_rng(seed)
     lengths = rng.integers(len_lo, len_hi, size=n_rows)
@@ -49,7 +52,10 @@ def generate_sequences(
     values = walk[: total] - row_base + 1000
     values = np.clip(values, 0, 50257).astype(np.int32)
 
-    doc_ids = pa.array([f"doc-{i:010d}" for i in range(n_rows)], pa.string())
+    doc_ids = pa.array(
+        [f"doc-{i:010d}" for i in range(doc_offset, doc_offset + n_rows)],
+        pa.string(),
+    )
     tokens = pa.ListArray.from_arrays(
         pa.array(offsets, pa.int32()), pa.array(values, pa.int32())
     )
@@ -61,17 +67,46 @@ def generate_sequences(
     )
 
 
-def sequences_path(size: str = "smoke", base_dir: str | None = None) -> str:
-    """Generate-once cache of the synthetic table as parquet."""
+def sequences_path(
+    size: str = "smoke", base_dir: str | None = None, n_files: int | None = None
+) -> str:
+    """Generate-once cache of the synthetic table as a parquet directory.
+
+    Written as multiple files (default ~6250 docs each) so Spark's scan
+    parallelism is not capped by a single file's split count — a single
+    ~1 GB file yields only ~6 x 128 MiB splits, which starves a 32-core
+    map stage (and at real scale the input is thousands of Iceberg
+    files anyway).
+    """
     base_dir = base_dir or os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".data"
     )
     n, lo, hi = SIZES[size]
-    path = os.path.join(base_dir, f"sequences_{size}.parquet")
-    if not os.path.exists(path):
-        os.makedirs(base_dir, exist_ok=True)
-        table = generate_sequences(n, lo, hi)
-        pq.write_table(table, path, row_group_size=8192)
+    if n_files is None:
+        n_files = max(1, n // 6250)
+    path = os.path.join(base_dir, f"sequences_{size}")
+    done_marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done_marker):
+        os.makedirs(path, exist_ok=True)
+        # chunk-wise generation (seed = 42 + chunk): one multi-GB numpy
+        # allocation thrashes the sandbox VM's memory subsystem (observed
+        # 35:1 system:user time); ~200 MB chunks generate at full speed
+        rows_per_file = -(-n // n_files)
+        start_doc = 0
+        for i in range(n_files):
+            rows = min(rows_per_file, n - start_doc)
+            if rows <= 0:
+                break
+            chunk = generate_sequences(
+                rows, lo, hi, seed=42 + i, doc_offset=start_doc
+            )
+            pq.write_table(
+                chunk,
+                os.path.join(path, f"part-{i:05d}.parquet"),
+                row_group_size=4096,
+            )
+            start_doc += rows
+        open(done_marker, "w").close()
     return path
 
 
