@@ -63,3 +63,17 @@ def test_fast_path_partial_last_bucket(spark):
     # lower medoid of 0..59 is element 30 (1-based idx (60+1)//2 = 30 -> 29)
     assert rows[0].rep_value == 29
     assert rows[1].rep_value == 64
+
+
+@pytest.mark.spark
+def test_arrow_1m_kernel_equals_jvm_fast_path(spark):
+    from tsclust_spark.kernels.rollup_arrow import rollup_sequences_1m_arrow
+
+    seq = read_sequences(spark, "smoke").limit(300).cache()
+    jvm = rollup_sequences_1m_fast(seq)
+    arrow = rollup_sequences_1m_arrow(seq)
+    cols = sorted(jvm.columns)
+    a, b = arrow.select(*cols), jvm.select(*cols)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

@@ -1,0 +1,64 @@
+"""Physical-plan quality gates: the plans we'd want at 100 TB, asserted.
+
+These catch regressions where a refactor silently turns a broadcast
+join into a sort-merge join or breaks filter pushdown into the scan.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.spark
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").filter(
+        (F.col("user_id") <= 20) & (F.col("ts") < F.lit("2024-01-03"))
+    )
+    plan = _plan(ev)
+    assert "PushedFilters:" in plan
+    assert "LessThanOrEqual(user_id,20)" in plan
+
+
+@pytest.mark.spark
+def test_column_pruning_reads_only_needed_columns(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id")
+    plan = _plan(ev)
+    # ReadSchema must not include the wide props/text columns
+    assert "props" not in plan.split("ReadSchema")[-1][:200]
+
+
+@pytest.mark.spark
+def test_broadcast_join_in_revenue_query(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["revenue_per_nation"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.spark
+def test_salted_agg_is_two_stage(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["salted_source_stats"](spark, SF))
+    # partial+final for each of the two groupBys -> >= 4 HashAggregate
+    assert plan.count("HashAggregate") >= 4
+
+
+@pytest.mark.spark
+def test_rollup_partial_aggregation_before_shuffle(spark):
+    from tsclust_spark.operators.rollup import rollup_tier
+
+    pts = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("user_id").alias("doc_id"), "ts", "value"
+    )
+    plan = _plan(rollup_tier(pts, "1m", integer_values=False))
+    # map-side partial agg (keys=...partial stats) must appear before
+    # the exchange: two HashAggregates, exactly one Exchange between
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1

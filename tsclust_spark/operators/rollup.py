@@ -183,7 +183,10 @@ def write_tier(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """
     (
         df.withColumn("bucket_date", F.to_date("bucket_ts"))
-        .repartition("bucket_date")
+        # range partition (C6) + in-partition sort (C22): clusters files
+        # by (date, doc) so doc_id predicates prune row groups on read
+        .repartitionByRange("bucket_date", "doc_id")
+        .sortWithinPartitions("bucket_date", "doc_id")
         .write.mode(mode)
         .partitionBy("bucket_date")
         .parquet(path)

@@ -1,0 +1,116 @@
+"""Streaming tier rollup: the batch 1m continuous aggregate as an
+incremental Structured Streaming query.
+
+Maps SURVEY.md C16 1:1 onto streaming (SURVEY.md §2 note: "C16 maps 1:1
+to readStream + withWatermark + groupBy(window(...)) in append mode"):
+
+    readStream(sequence parquet dir)
+      -> posexplode to points (ts = t0 + pos seconds)
+      -> withWatermark(ts, <late bound>)
+      -> groupBy(doc_id, window(ts, 1 minute)) agg min/max/sum/count
+      -> writeStream append -> partitioned parquet tier
+
+Append mode + watermark = a bucket is emitted exactly once, when the
+watermark passes its end — the streaming analogue of the batch tier's
+"recompute only changed buckets" increment. The emitted rows are
+bit-identical to the batch 1m tier for on-time data (asserted by
+tests/test_streaming.py via trigger(availableNow=True)).
+
+At scale this runs with Kafka/Iceberg sources instead of the file
+source; the aggregation plan is identical (partial+final hash agg over
+the shuffle on (doc_id, window)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tsclust_spark.operators.explode import EPOCH_T0
+
+SEQ_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def read_sequence_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over a sequence-table directory (C1 streaming)."""
+    return (
+        spark.readStream.schema(SEQ_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_points(seq_stream: DataFrame, t0: str = EPOCH_T0) -> DataFrame:
+    return seq_stream.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "value")
+    ).withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.unix_timestamp(F.to_timestamp(F.lit(t0)))
+            + F.col("pos").cast("long")
+        ),
+    )
+
+
+def streaming_tier_1m(
+    points: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """1m continuous aggregate with late-data watermark (C16 streaming)."""
+    return (
+        points.withWatermark("ts", watermark)
+        .groupBy(
+            F.col("doc_id"), F.window("ts", "1 minute").alias("w")
+        )
+        .agg(
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum("value").cast("bigint").alias("sum_value"),
+            F.count("value").alias("count_value"),
+        )
+        .select(
+            "doc_id",
+            F.col("w.start").alias("bucket_ts"),
+            "min_value",
+            "max_value",
+            "sum_value",
+            "count_value",
+            (F.col("sum_value").cast("double") / F.col("count_value")).alias(
+                "mean_value"
+            ),
+        )
+    )
+
+
+def run_stream_to_parquet(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    watermark: str = "10 minutes",
+):
+    """Wire the streaming tier to a parquet sink; availableNow=True
+    drains everything currently in the source then stops (the testable
+    batch-equivalence mode)."""
+    tier = streaming_tier_1m(
+        streaming_points(read_sequence_stream(spark, input_dir)), watermark
+    )
+    writer = (
+        tier.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
