@@ -890,12 +890,60 @@ FROM feats
 """
 
 
+def _q_renest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: explode -> order-stable renest returns the original arrays."""
+    from tsclust_spark.operators.explode import renest_points
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.posexplode("embedding").alias("pos", "value"),
+    ).select("doc_id", "pos", _sround(F.col("value").cast("double"), 5).alias("value"))
+    back = renest_points(pts)
+    return back.select("doc_id", "tokens", "n_tok")
+
+
+_SQL_RENEST = f"""
+SELECT vec_id AS doc_id,
+       list({_sql_round('CAST(u.component AS DOUBLE)', 5)} ORDER BY u.pos) AS tokens,
+       CAST(len(embedding) AS INT) AS n_tok
+FROM (
+  SELECT vec_id, embedding,
+         unnest(embedding) AS component,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+) u
+GROUP BY vec_id, embedding
+"""
+
+
+def _q_parity_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15: exceptAll parity diff — orders vs orders-minus-a-slice must
+    report exactly the removed rows on side 'a'."""
+    from tsclust_spark.operators.basic import parity_diff
+
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    trimmed = orders.filter(F.col("o_orderkey") % 100 != 0)
+    return parity_diff(orders, trimmed)
+
+
+_SQL_PARITY_DIFF = """
+WITH a AS (SELECT o_orderkey, o_custkey FROM orders),
+b AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 100 <> 0)
+SELECT *, 'a' AS side FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+UNION ALL
+SELECT *, 'b' AS side FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "window_rep_1h": _q_window_rep_1h,
         "codec_roundtrip": _q_codec_roundtrip,
         "dtw_pairs_sample": _q_dtw_pairs_sample,
         "cluster_assignments": _q_cluster_assignments,
+        "renest_roundtrip": _q_renest_roundtrip,
+        "parity_diff": _q_parity_diff,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -927,6 +975,8 @@ def oracle_sql() -> dict[str, str]:
         # dtw_pairs_sample / cluster_assignments: non-SQL-expressible
         # kernels (rows-only driver check; oracles live in tests/)
         "embedding_near_dups": _SQL_EMB_NEAR_DUPS,
+        "renest_roundtrip": _SQL_RENEST,
+        "parity_diff": _SQL_PARITY_DIFF,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,

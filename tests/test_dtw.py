@@ -205,3 +205,44 @@ def test_vectorized_dp_matches_slow_oracle():
                     trial,
                 )
                 assert (fast[~reach] >= BIG / 2).all()
+
+
+def test_banded_kernel_matches_generic():
+    from tsclust_spark.kernels.dtw_banded import dtw_banded_distance
+
+    rng = np.random.RandomState(21)
+    for pname in ["symmetric1", "symmetric2", "asymmetric", "rigid"]:
+        for _ in range(6):
+            n, m = rng.randint(2, 40), rng.randint(2, 40)
+            a, b = rng.rand(n), rng.rand(m)
+            for radius in (1, 3, 8):
+                want = dtw_distance(
+                    a, b, step_pattern=pname,
+                    global_constraint="sakoe_chiba", sakoe_chiba_radius=radius,
+                )
+                got = dtw_banded_distance(a, b, radius, "euclidean", pname)
+                if np.isinf(want) or np.isinf(got):
+                    assert np.isinf(want) == np.isinf(got), (pname, n, m, radius)
+                else:
+                    assert abs(want - got) < 1e-9, (pname, n, m, radius)
+
+
+def test_banded_kernel_speed_sanity():
+    import time
+
+    from tsclust_spark.kernels.dtw_banded import dtw_banded_distance
+
+    rng = np.random.RandomState(22)
+    a, b = rng.rand(2000), rng.rand(2000)
+    t0 = time.time()
+    d1 = dtw_banded_distance(a, b, radius=8, step_pattern="symmetric2")
+    banded_t = time.time() - t0
+    t0 = time.time()
+    d2 = dtw_distance(
+        a, b, step_pattern="symmetric2",
+        global_constraint="sakoe_chiba", sakoe_chiba_radius=8,
+    )
+    full_t = time.time() - t0
+    assert abs(d1 - d2) < 1e-9
+    # O(n*w) vs O(n*m): must be dramatically faster
+    assert banded_t < full_t / 5, (banded_t, full_t)

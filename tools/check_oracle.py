@@ -32,6 +32,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("int64")
         if str(df[c].dtype) == "float32":
             df[c] = df[c].astype("float64")
+        if df[c].dtype == object and len(df) and isinstance(
+            df[c].iloc[0], (list, tuple)
+        ) or str(df[c].dtype) == "object" and len(df) and hasattr(
+            df[c].iloc[0], "__len__"
+        ) and not isinstance(df[c].iloc[0], str):
+            df[c] = df[c].map(lambda v: tuple(round(float(x), 9) for x in v))
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 

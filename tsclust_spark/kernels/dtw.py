@@ -384,9 +384,18 @@ def dtw_pairs(
     pattern = PATTERNS[pattern_name]
     steps = pattern.to_numpy()
     schema = DTW_PAIR_SCHEMA if with_path else DTW_DIST_SCHEMA
+    # O(n*band) fast path: distance-only 1-D alignments under a
+    # Sakoe-Chiba band skip the full (n, m) matrices entirely
+    use_banded = (
+        not with_path
+        and global_constraint == "sakoe_chiba"
+        and metric in ("euclidean", "sqeuclidean", "cityblock", "manhattan")
+    )
 
     def compute(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        from tsclust_spark.kernels.dtw_banded import dtw_banded_distance
 
         for pdf in batches:
             dists = np.empty(len(pdf), dtype=np.float64)
@@ -400,6 +409,15 @@ def dtw_pairs(
                     dists[r] = 0.0 if (s1.size == 0 and s2.size == 0) else np.inf
                     if with_path:
                         paths.append([])
+                    continue
+                if use_banded and s1.ndim == 1 and s2.ndim == 1:
+                    dists[r] = dtw_banded_distance(
+                        s1,
+                        s2,
+                        radius=1 if sakoe_chiba_radius is None else sakoe_chiba_radius,
+                        metric=metric,
+                        step_pattern=pattern,
+                    )
                     continue
                 cost = pairwise_cost(s1, s2, metric)
                 mask = build_mask(

@@ -22,6 +22,8 @@ from tsclust_spark.kernels.dtw import _accumulate, build_mask, pairwise_cost
 
 
 def _dtw_dist_matrix(series: list[np.ndarray], pattern_name: str, band: int | None):
+    from tsclust_spark.kernels.dtw_banded import dtw_banded_distance
+
     pattern = PATTERNS[pattern_name]
     steps = pattern.to_numpy()
     n = len(series)
@@ -31,6 +33,9 @@ def _dtw_dist_matrix(series: list[np.ndarray], pattern_name: str, band: int | No
             a, b = series[i], series[j]
             if a.size == 0 or b.size == 0:
                 d = 0.0 if a.size == b.size else np.inf
+            elif band is not None and a.ndim == 1 and b.ndim == 1:
+                # O(n*band) kernel — same result as the masked full DP
+                d = dtw_banded_distance(a, b, band, "euclidean", pattern)
             else:
                 cost = pairwise_cost(a, b, "euclidean")
                 mask = (
