@@ -936,6 +936,93 @@ SELECT *, 'b' AS side FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
 """
 
 
+def _emb_as_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested sequence table derived from embeddings (tokens = trunc of
+    scaled components) — lets the driver gate the map-only 1m kernels."""
+    emb = _load(spark, sf_dir, "embeddings")
+    tokens = F.transform(
+        "embedding", lambda x: (x.cast("double") * 1000.0).cast("int")
+    )
+    return emb.select(
+        F.col("vec_id").cast("string").alias("doc_id"),
+        tokens.alias("tokens"),
+        F.size("embedding").cast("int").alias("n_tok"),
+        F.lit("emb").alias("source"),
+    )
+
+
+def _q_fast1m_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16 fast path (JVM array expressions): map-only 1m tier."""
+    from tsclust_spark.operators.rollup import rollup_sequences_1m_fast
+
+    out = rollup_sequences_1m_fast(_emb_as_sequences(spark, sf_dir))
+    return out.select(
+        "doc_id", "bucket_ts", "min_value", "max_value", "sum_value",
+        "count_value", "rep_value", "mean_value",
+    )
+
+
+def _q_fast1m_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16 fast path (Arrow/numpy reduceat kernel): same semantics."""
+    from tsclust_spark.kernels.rollup_arrow import rollup_sequences_1m_arrow
+
+    out = rollup_sequences_1m_arrow(_emb_as_sequences(spark, sf_dir))
+    return out.select(
+        "doc_id", "bucket_ts",
+        F.col("min_value").cast("int").alias("min_value"),
+        F.col("max_value").cast("int").alias("max_value"),
+        "sum_value", "count_value",
+        F.col("rep_value").cast("int").alias("rep_value"),
+        "mean_value",
+    )
+
+
+_SQL_FAST1M = """
+WITH seq AS (
+  SELECT CAST(vec_id AS VARCHAR) AS doc_id,
+         list_transform(embedding,
+                        x -> CAST(trunc(CAST(x AS DOUBLE) * 1000.0) AS INT)) AS tokens
+  FROM embeddings
+),
+pts AS (
+  SELECT doc_id, CAST((pos - 1) // 60 AS INT) AS bidx, v
+  FROM (
+    SELECT doc_id, unnest(tokens) AS v, generate_subscripts(tokens, 1) AS pos
+    FROM seq
+  )
+)
+SELECT doc_id,
+       TIMESTAMP '2024-01-01 00:00:00' + bidx * INTERVAL 1 MINUTE AS bucket_ts,
+       min(v) AS min_value,
+       max(v) AS max_value,
+       CAST(sum(v) AS BIGINT) AS sum_value,
+       count(*) AS count_value,
+       (list_sort(list(v)))[CAST((count(*) + 1) // 2 AS INT)] AS rep_value,
+       CAST(sum(v) AS DOUBLE) / count(*) AS mean_value
+FROM pts
+GROUP BY doc_id, bidx
+"""
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe = n_lists: exhaustive probing makes the
+    result provably equal to exact cosine top-k, so the full IVF
+    machinery (quantizer, inverted lists, probe ranking) is
+    driver-gated against the brute-force oracle."""
+    from tsclust_spark.operators.similarity import ivf_build, ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    centroids, assignments = ivf_build(emb, n_lists=4, lloyd_iters=1)
+    q = emb.filter(F.col("vec_id") < 20)
+    out = ivf_topk(centroids, assignments, q, k=5, nprobe=4)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("cand_id").cast("bigint").alias("cand_id"),
+        _sround("cosine", 6).alias("cosine"),
+        "rank",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "window_rep_1h": _q_window_rep_1h,
@@ -944,11 +1031,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_assignments": _q_cluster_assignments,
         "renest_roundtrip": _q_renest_roundtrip,
         "parity_diff": _q_parity_diff,
+        "fast1m_jvm": _q_fast1m_jvm,
+        "fast1m_arrow": _q_fast1m_arrow,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "simhash_near_dups": _q_simhash_near_dups,
         "cosine_topk": _q_cosine_topk,
+        "ivf_topk_full_probe": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
@@ -977,11 +1067,14 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _SQL_EMB_NEAR_DUPS,
         "renest_roundtrip": _SQL_RENEST,
         "parity_diff": _SQL_PARITY_DIFF,
+        "fast1m_jvm": _SQL_FAST1M,
+        "fast1m_arrow": _SQL_FAST1M,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
         "simhash_near_dups": _SQL_SIMHASH_NEAR,
         "cosine_topk": _SQL_COSINE_TOPK,
+        "ivf_topk_full_probe": _SQL_COSINE_TOPK,
         "token_count": _SQL_TOKEN_COUNT,
         "fingerprint": _SQL_FINGERPRINT,
         "language_id": _make_sql_language_id(),

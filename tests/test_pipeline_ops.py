@@ -107,3 +107,26 @@ def test_token_count_simple(spark):
     # ceil(5/4)+ceil(5/4)+ceil(8/4) = 2+2+2
     assert rows[1].bpe_est_tokens == 6
     assert rows[2].ws_tokens == 1 and rows[2].bpe_est_tokens == 1
+
+
+@pytest.mark.spark
+def test_ivf_recall_and_exactness(spark, emb):
+    from tsclust_spark.operators.similarity import cosine_topk, ivf_build, ivf_topk
+
+    centroids, assignments = ivf_build(emb, n_lists=4, lloyd_iters=1)
+    assert centroids.count() == 4
+    assert assignments.count() == emb.count()
+
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = ivf_topk(centroids, assignments, q, k=5, nprobe=2).collect()
+    exact = cosine_topk(emb, q, k=5).collect()
+    exact_set = {(r.query_id, r.cand_id) for r in exact}
+    approx_set = {(str(r.query_id), str(r.cand_id)) for r in approx} | {
+        (r.query_id, r.cand_id) for r in approx
+    }
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3
+    # nprobe = n_lists ==> exact equality of the neighbor sets
+    full = ivf_topk(centroids, assignments, q, k=5, nprobe=4).collect()
+    full_set = {(r.query_id, r.cand_id) for r in full}
+    assert full_set == exact_set

@@ -21,8 +21,11 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b):
+    # cast each operand BEFORE multiplying: float32*float32 then cast
+    # differs from the oracle's double math by ~1e-8 — enough to flip a
+    # rounding boundary
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -31,7 +34,7 @@ def _dot(a, b):
 def _norm(a):
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda x: (x * x).cast("double")),
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -184,4 +187,126 @@ def lsh_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def _nearest_centroid(vec_df, centroids, vec_col: str, id_name: str):
+    """Assign each vector to its max-cosine centroid (broadcast join +
+    per-id top-1)."""
+    scored = (
+        vec_df.join(F.broadcast(centroids))
+        .withColumn(
+            "cscore",
+            _dot(F.col(vec_col), F.col("cvec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("cvec"))),
+        )
+    )
+    w = Window.partitionBy(id_name).orderBy(
+        F.col("cscore").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "cvec")
+    )
+
+
+def ivf_build(
+    df: DataFrame,
+    n_lists: int = 8,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: (centroids, assignments).
+
+    Deterministic coarse quantizer: seeds = the n_lists lowest-id
+    vectors, refined by ``lloyd_iters`` k-means steps (assign via
+    broadcast-join argmax, recompute means via posexplode + groupBy —
+    all DataFrame ops, no UDFs). Assignments = the inverted lists:
+    ``(vec_id, embedding, centroid_id)``.
+    """
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("embedding"),
+    )
+    w0 = Window.orderBy("vec_id")
+    centroids = (
+        base.withColumn("_rn", F.row_number().over(w0))
+        .filter(F.col("_rn") <= n_lists)
+        .select(
+            (F.col("_rn") - 1).alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    for _ in range(lloyd_iters):
+        assigned = _nearest_centroid(base, centroids, "embedding", "vec_id")
+        centroids = (
+            assigned.select(
+                "centroid_id", F.posexplode("embedding").alias("pos", "comp")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("comp").alias("mean_comp"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "mean_comp"))),
+                    lambda s: s["mean_comp"],
+                ).alias("cvec")
+            )
+        )
+    assignments = _nearest_centroid(base, centroids, "embedding", "vec_id").select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    return centroids, assignments
+
+
+def ivf_topk(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in each query's ``nprobe``
+    nearest inverted lists. Compute = |queries| x (nprobe/n_lists) of
+    brute force; recall tunable via nprobe (exact when nprobe = n_lists).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("qvec"),
+    )
+    qscored = q.join(F.broadcast(centroids)).withColumn(
+        "cscore",
+        _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qscored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+    cand = probes.join(assignments, "centroid_id").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("qvec"), F.col("embedding"))
+        / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("cand_id"), "cosine", "rank")
     )
