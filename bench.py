@@ -168,6 +168,19 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     out_dir = f"/tmp/bench_tiers_{cores}"
     shutil.rmtree(out_dir, ignore_errors=True)
     try:
+        # warm-up: whole-stage-codegen JIT + Python worker startup cost
+        # 3-5x on first execution (measured); exercise both paths on a
+        # small slice before timing
+        from pyspark.sql import functions as _F
+
+        from tsclust_spark.plans.rollup_job import build_tiers_from_sequences
+
+        warm = spark.read.parquet(seq_path).filter(
+            _F.pmod(_F.hash("doc_id"), _F.lit(50)) == 0
+        )
+        build_tiers_from_sequences(warm)["1d"].count()
+        codec_benchmark(spark, seq_path, frac_mod=400)
+
         rollup = rollup_benchmark(spark, seq_path, out_dir)
         codec = codec_benchmark(spark, seq_path)
         queries = events_queries(spark, sf_dir)
