@@ -97,3 +97,40 @@ def test_tier_parity_vs_direct_rollup(spark, seq, tmp_path_factory):
         got, want = got.select(*cols), want.select(*cols)
         assert got.exceptAll(want).count() == 0, tier
         assert want.exceptAll(got).count() == 0, tier
+
+
+@pytest.mark.spark
+def test_manifest_latest_record_wins(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("lww"))
+    m = Manifest(spark, f"{out}/_manifest")
+    m.record("7", "failed")
+    assert m.pending_units(["7", "8"]) == ["7", "8"]
+    m.record("7", "done", rows=1, points=10, wall_ms=5.0)
+    assert m.pending_units(["7", "8"]) == ["8"]
+
+
+@pytest.mark.spark
+def test_failed_unit_recorded_and_retried(spark, seq, tmp_path_factory, monkeypatch):
+    import tsclust_spark.plans.rollup_job as rj
+
+    out = str(tmp_path_factory.mktemp("fail"))
+    calls = {"n": 0}
+    real = rj.run_unit
+
+    def flaky(spark_, s, unit, n_units, out_dir, write_raw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second unit blows up once
+            raise RuntimeError("injected")
+        return real(spark_, s, unit, n_units, out_dir, write_raw)
+
+    monkeypatch.setattr(rj, "run_unit", flaky)
+    with pytest.raises(RuntimeError):
+        rj.run_rollup(spark, seq, out, n_units=4, write_raw=False)
+    statuses = {
+        r.unit_id: r.status
+        for r in Manifest(spark, f"{out}/_manifest").metrics().collect()
+    }
+    assert statuses["0"] == "done" and statuses["1"] == "failed"
+    # retry completes only the remaining units (incl. the failed one)
+    s2 = rj.run_rollup(spark, seq, out, n_units=4, write_raw=False)
+    assert s2["units_processed"] == 3

@@ -182,7 +182,17 @@ def run_rollup(
     t_start = time.time()
     for u in units:
         t0 = time.time()
-        rows, pts = run_unit(spark, seq, int(u), n_units, out_dir, write_raw)
+        try:
+            rows, pts = run_unit(spark, seq, int(u), n_units, out_dir, write_raw)
+        except Exception:
+            # record the failure for observability, then surface it; the
+            # unit stays pending (latest-wins: failed != done) so the
+            # next run retries exactly this unit
+            manifest.record(
+                u, "failed", wall_ms=(time.time() - t0) * 1000.0,
+                lineage={"out_dir": out_dir, "n_units": n_units},
+            )
+            raise
         wall_ms = (time.time() - t0) * 1000.0
         manifest.record(
             u,
