@@ -239,7 +239,7 @@ def _best_of(fn, n: int = 3) -> dict:
     return best
 
 
-SCALING_SEQ_SIZE = os.environ.get("SPARK_GRAFT_SEQ_SIZE_SCALING", "benchxl")
+SCALING_SEQ_SIZE = os.environ.get("SPARK_GRAFT_SEQ_SIZE_SCALING", "bench")
 
 
 def scaling_suite_queries(cores: int) -> dict:
