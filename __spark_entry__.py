@@ -289,18 +289,29 @@ def _q_salted_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsclust_spark.operators.salting import salted_stats
 
     docs = _load(spark, sf_dir, "documents")
-    return salted_stats(
+    out = salted_stats(
         docs, group_col="source", value_col="n_chars", salt_from="doc_id"
+    )
+    # mean is the one non-integer column: quantize it the same way on
+    # both sides so the driver's value-hash is stable (an unrounded
+    # double was the round-1 hash mismatch)
+    return out.select(
+        "source",
+        "count_value",
+        "sum_value",
+        "min_value",
+        "max_value",
+        _sround("mean_value", 6).alias("mean_value"),
     )
 
 
-_SQL_SALTED_SOURCE_STATS = """
+_SQL_SALTED_SOURCE_STATS = f"""
 SELECT source,
        count(*) AS count_value,
        sum(n_chars) AS sum_value,
        min(n_chars) AS min_value,
        max(n_chars) AS max_value,
-       sum(n_chars) * 1.0 / count(*) AS mean_value
+       {_sql_round('sum(n_chars) * 1.0 / count(*)', 6)} AS mean_value
 FROM documents
 GROUP BY source
 """
@@ -448,10 +459,13 @@ SELECT CAST(vec_id AS VARCHAR) AS doc_id, true AS ok FROM embeddings
 """
 
 
-def _q_dtw_pairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C26/C13: banded DTW over all pairs of a bounded block (non-SQL
-    kernel -> rows-only driver check; pytest holds the numpy oracle)."""
-    from tsclust_spark.kernels.dtw import dtw_distance_matrix
+def _q_dtw_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26/C13 hash-gate: per pair of a bounded block, the O(n·band)
+    banded DTW kernel must agree with the masked full-DP recurrence —
+    emitted as booleans so the DuckDB oracle is the constant-true pair
+    table (the codec_roundtrip trick). The distance VALUES are oracled
+    in pytest against the pure-numpy DP (tests/test_dtw.py)."""
+    from tsclust_spark.kernels.dtw import dtw_selfcheck
 
     emb = (
         _load(spark, sf_dir, "embeddings")
@@ -461,18 +475,28 @@ def _q_dtw_pairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("tokens"),
         )
     )
-    dm = dtw_distance_matrix(
-        emb,
-        pattern_name="symmetric2",
-        global_constraint="sakoe_chiba",
-        sakoe_chiba_radius=2,
-    )
-    return dm.select("id_a", "id_b", _sround("dist", 6).alias("dist"))
+    return dtw_selfcheck(emb, pattern_name="symmetric2", sakoe_chiba_radius=2)
 
 
-def _q_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C28: per-block DTW k-medoids cluster assignments (non-SQL kernel
-    -> rows-only driver check; pytest holds the recovery test)."""
+_SQL_DTW_SELFCHECK = """
+SELECT CAST(a.vec_id AS VARCHAR) AS id_a,
+       CAST(b.vec_id AS VARCHAR) AS id_b,
+       true AS ok
+FROM embeddings a
+JOIN embeddings b
+  ON CAST(a.vec_id AS VARCHAR) < CAST(b.vec_id AS VARCHAR)
+WHERE a.vec_id < 24 AND b.vec_id < 24
+"""
+
+
+def _q_cluster_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C28 hash-gate: per-doc k-medoids invariants as booleans —
+    every doc labeled (no silent drop), label in [0, k), the assigned
+    medoid is a member of the same block, distances non-negative, and
+    the medoid's own dist_to_medoid is 0. Oracle = constant-true table
+    keyed by the input docs, so any violation (or a dropped/duplicated
+    doc) hash-mismatches. Assignment VALUES are pytest-oracled
+    (tests/test_barycenter_cluster.py recovery test)."""
     from tsclust_spark.operators.cluster import cluster_sequences
 
     emb = (
@@ -487,13 +511,36 @@ def _q_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cluster_sequences(
         emb, k=3, block_col="blk", band=2, max_series_per_block=128
     )
-    return out.select(
-        "doc_id",
-        "block",
-        "cluster_id",
-        "medoid_doc_id",
-        _sround("dist_to_medoid", 6).alias("dist_to_medoid"),
+    m = out.select(
+        F.col("doc_id").alias("m_doc"),
+        F.col("block").alias("m_block"),
+        F.col("dist_to_medoid").alias("m_dist"),
     )
+    joined = out.join(
+        m,
+        (out.medoid_doc_id == m.m_doc) & (out.block == m.m_block),
+        "left",
+    )
+    return joined.select(
+        "doc_id",
+        ((F.col("cluster_id") >= 0) & (F.col("cluster_id") < 3)).alias(
+            "label_in_range"
+        ),
+        F.col("m_doc").isNotNull().alias("medoid_in_block"),
+        (F.col("dist_to_medoid") >= 0).alias("dist_nonneg"),
+        (F.col("m_dist") == 0).alias("medoid_dist_zero"),
+    )
+
+
+_SQL_CLUSTER_INVARIANTS = """
+SELECT CAST(vec_id AS VARCHAR) AS doc_id,
+       true AS label_in_range,
+       true AS medoid_in_block,
+       true AS dist_nonneg,
+       true AS medoid_dist_zero
+FROM embeddings
+WHERE vec_id < 200
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -763,6 +810,59 @@ FROM scored WHERE cosine >= 0.95
 """
 
 
+def _q_lsh_topk_identical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine top-1 at a provably-full-recall config:
+    queries are seeded exact copies (ids +100000) of 20 corpus vectors.
+    An identical vector projects to the identical LSH bucket, so each
+    query's true nearest neighbor (its original, cosine ~1.0, strictly
+    above the ~0.5 natural maximum on this data) is ALWAYS a candidate —
+    argmax over a candidate subset containing the global argmax equals
+    the global argmax, so the bucketed result provably equals the
+    brute-force oracle."""
+    from tsclust_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    out = lsh_cosine_topk(corpus, copies, k=1, n_planes=4)
+    return out.select(
+        "query_id", "cand_id", _sround("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+_SQL_LSH_TOPK_IDENTICAL = f"""
+WITH seeded AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM seeded
+      WHERE vec_id >= 100000),
+c AS (SELECT vec_id AS cand_id, embedding AS cvec FROM seeded),
+scored AS (
+  SELECT query_id, cand_id,
+    list_reduce(list_prepend(0.0, list_transform(range(1, len(qvec) + 1),
+      i -> CAST(qvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE))), (a, v) -> a + v)
+    / (sqrt(list_reduce(list_prepend(0.0, list_transform(qvec,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, v) -> a + v))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform(cvec,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, v) -> a + v)))
+    AS cosine
+  FROM c JOIN q ON query_id <> cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, {_sql_round('cosine', 6)} AS cosine, rank
+FROM ranked WHERE rank <= 1
+"""
+
+
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsclust_spark.operators.textstats import token_count
 
@@ -891,21 +991,42 @@ FROM feats
 
 
 def _q_renest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C8: explode -> order-stable renest returns the original arrays."""
+    """C8: explode -> order-stable renest returns the original arrays.
+
+    Values are quantized to integers before nesting and the re-nested
+    array is serialized to a CSV string: the driver's canonicalizer
+    hashes flat cells only (a raw array column crashed its pandas
+    sort in round 1), and integer-string formatting is engine-stable
+    where float-string formatting is not.
+    """
     from tsclust_spark.operators.explode import renest_points
 
     emb = _load(spark, sf_dir, "embeddings")
     pts = emb.select(
         F.col("vec_id").alias("doc_id"),
         F.posexplode("embedding").alias("pos", "value"),
-    ).select("doc_id", "pos", _sround(F.col("value").cast("double"), 5).alias("value"))
+    ).select(
+        "doc_id",
+        "pos",
+        F.floor(F.col("value").cast("double") * 100000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("value"),
+    )
     back = renest_points(pts)
-    return back.select("doc_id", "tokens", "n_tok")
+    return back.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("tokens", lambda x: x.cast("string"))
+        ).alias("tokens_csv"),
+        "n_tok",
+    )
 
 
-_SQL_RENEST = f"""
+_SQL_RENEST = """
 SELECT vec_id AS doc_id,
-       list({_sql_round('CAST(u.component AS DOUBLE)', 5)} ORDER BY u.pos) AS tokens,
+       array_to_string(
+         list(CAST(floor(CAST(u.component AS DOUBLE) * 100000.0 + 0.5) AS BIGINT)
+              ORDER BY u.pos), ',') AS tokens_csv,
        CAST(len(embedding) AS INT) AS n_tok
 FROM (
   SELECT vec_id, embedding,
@@ -1027,8 +1148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "window_rep_1h": _q_window_rep_1h,
         "codec_roundtrip": _q_codec_roundtrip,
-        "dtw_pairs_sample": _q_dtw_pairs_sample,
-        "cluster_assignments": _q_cluster_assignments,
+        "dtw_selfcheck": _q_dtw_selfcheck,
+        "cluster_invariants": _q_cluster_invariants,
         "renest_roundtrip": _q_renest_roundtrip,
         "parity_diff": _q_parity_diff,
         "fast1m_jvm": _q_fast1m_jvm,
@@ -1039,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "cosine_topk": _q_cosine_topk,
         "ivf_topk_full_probe": _q_ivf_topk,
+        "lsh_topk_identical": _q_lsh_topk_identical,
         "embedding_near_dups": _q_embedding_near_dups,
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
@@ -1062,8 +1184,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "window_rep_1h": _SQL_WINDOW_REP_1H,
         "codec_roundtrip": _SQL_CODEC_ROUNDTRIP,
-        # dtw_pairs_sample / cluster_assignments: non-SQL-expressible
-        # kernels (rows-only driver check; oracles live in tests/)
+        # the DTW/cluster kernels are non-SQL-expressible; their driver
+        # gates assert kernel self-consistency + invariants as booleans
+        # against constant-true oracles (values oracled in tests/)
+        "dtw_selfcheck": _SQL_DTW_SELFCHECK,
+        "cluster_invariants": _SQL_CLUSTER_INVARIANTS,
         "embedding_near_dups": _SQL_EMB_NEAR_DUPS,
         "renest_roundtrip": _SQL_RENEST,
         "parity_diff": _SQL_PARITY_DIFF,
@@ -1075,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _SQL_SIMHASH_NEAR,
         "cosine_topk": _SQL_COSINE_TOPK,
         "ivf_topk_full_probe": _SQL_COSINE_TOPK,
+        "lsh_topk_identical": _SQL_LSH_TOPK_IDENTICAL,
         "token_count": _SQL_TOKEN_COUNT,
         "fingerprint": _SQL_FINGERPRINT,
         "language_id": _make_sql_language_id(),

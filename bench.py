@@ -97,10 +97,17 @@ def codec_benchmark(spark, seq_path: str, frac_mod: int = 5) -> dict:
     t0 = time.time()
     blocks = compress_sequences(seq)
     agg = blocks.agg(
-        F.sum("n").alias("points"),
-        F.sum(F.length("xor") + F.length("dod")).alias("bytes"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("points"),
+        F.coalesce(
+            F.sum(F.length("xor") + F.length("dod")), F.lit(0)
+        ).alias("bytes"),
     ).collect()[0]
     wall = time.time() - t0
+    if agg.points == 0:
+        raise ValueError(
+            f"codec_benchmark: hash filter pmod(hash(doc_id),{frac_mod})==0 "
+            f"matched no rows of {seq_path} — lower frac_mod"
+        )
     return {
         "points": int(agg.points),
         "wall_sec": wall,

@@ -99,6 +99,24 @@ def test_cluster_sequences_spark(spark):
 
 
 @pytest.mark.spark
+def test_cluster_sequences_no_silent_drop(spark):
+    """A block larger than max_series_per_block is sub-sharded, not
+    truncated: every input doc_id must appear in the output exactly once."""
+    from tsclust_spark.operators.cluster import cluster_sequences
+    from tsclust_spark.sources.datagen import read_sequences
+
+    seq = read_sequences(spark, "smoke").limit(60)
+    n_in = seq.count()
+    # single block ("all") of 60 docs with a cap of 16 -> 4 shards
+    out = cluster_sequences(seq, k=2, block_col=None, max_series_per_block=16)
+    rows = out.collect()
+    assert len(rows) == n_in
+    assert len({r.doc_id for r in rows}) == n_in
+    for r in rows:
+        assert 0 <= r.cluster_id < 2
+
+
+@pytest.mark.spark
 def test_dba_per_group_spark(spark):
     from tsclust_spark.kernels.barycenter import dba_per_group
     from tsclust_spark.sources.datagen import read_sequences

@@ -50,6 +50,15 @@ def test_dod_all_buckets():
     rt_dod(ts)
 
 
+def test_dod_int64_wrapping_inputs():
+    # inputs whose delta/dod arithmetic wraps int64: the encoder's
+    # np.diff wraps modulo 2^64, and the decoder must mirror that
+    # (it used to OverflowError on out[i] = prev with unbounded ints)
+    rt_dod(np.array([2**62, -(2**62), 0, 2**62], dtype=np.int64))
+    rt_dod(np.array([2**63 - 1, -(2**63), 2**63 - 1], dtype=np.int64))
+    rt_dod(np.array([0, 2**63 - 1, 0, -(2**63), 5], dtype=np.int64))
+
+
 def test_dod_bucket_edges():
     for dod in [-63, 64, -64, 65, -255, 256, -256, 257, -2047, 2048, -2048, 2049]:
         rt_dod(np.array([0, 10, 10 + 10 + dod], dtype=np.int64))

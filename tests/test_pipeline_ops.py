@@ -130,3 +130,21 @@ def test_ivf_recall_and_exactness(spark, emb):
     full = ivf_topk(centroids, assignments, q, k=5, nprobe=4).collect()
     full_set = {(r.query_id, r.cand_id) for r in full}
     assert full_set == exact_set
+
+
+@pytest.mark.spark
+def test_ivf_build_seed_plan_no_global_window(spark, emb):
+    """Seed selection must plan TakeOrderedAndProject (per-partition
+    top-N), never a global row_number window that funnels every vector
+    through one partition (the round-1 scale-killer)."""
+    from tsclust_spark.operators.similarity import ivf_build
+
+    centroids, _ = ivf_build(emb, n_lists=4, lloyd_iters=0)
+    plan = centroids._sc._jvm.PythonSQLUtils.explainString(
+        centroids._jdf.queryExecution(), "extended"
+    )
+    assert "TakeOrderedAndProject" in plan
+    # the only Window left runs over the n_lists seed rows, AFTER the
+    # limit — i.e. downstream of TakeOrderedAndProject in the plan text
+    phys = plan[plan.index("== Physical Plan =="):]
+    assert phys.index("Window") < phys.index("TakeOrderedAndProject")

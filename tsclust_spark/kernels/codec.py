@@ -132,12 +132,19 @@ def decode_dod(blob: bytes) -> np.ndarray:
         pos += k
         return v
 
+    def wrap64(x: int) -> int:
+        # int64 wrapping semantics: the encoder's np.diff wraps modulo
+        # 2^64 (C int64), so the decoder must accumulate the same way —
+        # unbounded Python ints would OverflowError on inputs whose
+        # delta/dod arithmetic wraps (e.g. ts=[2**62, -2**62, ...]).
+        return (x + 2**63) % 2**64 - 2**63
+
     out = np.empty(n, dtype=np.int64)
     out[0] = np.uint64(take(64)).astype(np.int64)
     if n == 1:
         return out
     prev_delta = 0
-    prev = out[0]
+    prev = int(out[0])
     for i in range(1, n):
         if bits[pos] == 0:
             pos += 1
@@ -154,8 +161,8 @@ def decode_dod(blob: bytes) -> np.ndarray:
         else:
             pos += 4
             dod = int(np.uint64(take(64)).astype(np.int64))
-        prev_delta = prev_delta + dod
-        prev = prev + prev_delta
+        prev_delta = wrap64(prev_delta + dod)
+        prev = wrap64(prev + prev_delta)
         out[i] = prev
     return out
 

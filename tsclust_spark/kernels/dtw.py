@@ -489,3 +489,77 @@ def dtw_distance_matrix(
         # join; spread the CPU-bound kernel work (costs one tiny shuffle)
         pairs = pairs.repartition(repartition)
     return dtw_pairs(pairs, **dtw_kwargs)
+
+
+def dtw_selfcheck(
+    df,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    pattern_name: str = "symmetric2",
+    sakoe_chiba_radius: int = 2,
+    atol: float = 1e-9,
+):
+    """C26 hash-gate: per pair, the O(n·band) banded kernel must agree
+    with the masked full-DP recurrence (<= ``atol``; they sum the same
+    costs in a different order, so agreement is 1e-9-tight, not bitwise).
+
+    Output ``(id_a, id_b, ok boolean)`` — an all-true table, which a SQL
+    oracle can assert as a constant (the codec_roundtrip trick), turning
+    the non-SQL-expressible DTW kernel into a hash-green driver gate.
+    """
+    from pyspark.sql import functions as F
+
+    pattern = PATTERNS[pattern_name]
+    steps = pattern.to_numpy()
+
+    left = df.select(
+        F.col(id_col).cast("string").alias("id_a"),
+        F.col(tokens_col).alias("tokens_a"),
+    )
+    right = df.select(
+        F.col(id_col).cast("string").alias("id_b"),
+        F.col(tokens_col).alias("tokens_b"),
+    )
+    pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+
+    def compute(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from tsclust_spark.kernels.dtw_banded import dtw_banded_distance
+
+        for pdf in batches:
+            oks = np.empty(len(pdf), dtype=bool)
+            a_col = pdf["tokens_a"].to_numpy()
+            b_col = pdf["tokens_b"].to_numpy()
+            for r in range(len(pdf)):
+                s1 = np.asarray(a_col[r], dtype=np.float64)
+                s2 = np.asarray(b_col[r], dtype=np.float64)
+                if s1.size == 0 or s2.size == 0:
+                    oks[r] = True
+                    continue
+                fast = dtw_banded_distance(
+                    s1, s2, sakoe_chiba_radius, "euclidean", pattern
+                )
+                cost = pairwise_cost(s1, s2, "euclidean")
+                mask = build_mask(
+                    cost.shape[0], cost.shape[1], "sakoe_chiba",
+                    sakoe_chiba_radius, None,
+                )
+                D = _accumulate(cost, steps, mask)
+                term = D[-1, -1]
+                full = (
+                    float("inf")
+                    if term >= BIG / 2
+                    else pattern.normalize(float(term), cost.shape[0], cost.shape[1])
+                )
+                if np.isinf(fast) or np.isinf(full):
+                    oks[r] = np.isinf(fast) == np.isinf(full)
+                else:
+                    oks[r] = abs(fast - full) <= atol
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "ok": oks}
+            )
+
+    return pairs.mapInPandas(
+        compute, schema="id_a string, id_b string, ok boolean"
+    )

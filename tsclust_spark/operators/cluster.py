@@ -105,15 +105,20 @@ def cluster_sequences(
 ) -> DataFrame:
     """Per-block banded-DTW k-medoids -> (doc_id, cluster_id, ...).
 
-    Blocks larger than ``max_series_per_block`` are truncated to the
-    first N doc_ids (deterministic); pre-shard huge blocks upstream
-    (e.g. with :func:`tsclust_spark.operators.salting.with_salt`).
+    Blocks larger than ``max_series_per_block`` are hash-sharded into
+    ``ceil(block_size / max_series_per_block)`` sub-blocks so EVERY
+    doc_id receives a label (no silent truncation): each shard runs its
+    own k-medoids, so labels/medoids are per-shard — an approximation
+    of the whole-block clustering that keeps the per-group DTW matrix
+    bounded at ~max_series_per_block² regardless of block skew. The
+    shard count is derived from a broadcast per-block size table, so
+    the plan stays shuffle-once.
     """
 
     def compute(pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values("doc_id").head(max_series_per_block).reset_index(drop=True)
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         series = [np.asarray(t, dtype=np.float64) for t in pdf[tokens_col]]
         dm = _dtw_dist_matrix(series, pattern_name, band)
         labels, medoids = kmedoids_assign(dm, k)
@@ -131,4 +136,18 @@ def cluster_sequences(
     base = seq_df.withColumn(
         "_block", F.col(block_col) if block_col else F.lit("all")
     )
-    return base.groupBy("_block").applyInPandas(compute, schema=CLUSTER_SCHEMA)
+    sizes = base.groupBy("_block").agg(F.count(F.lit(1)).alias("_block_n"))
+    sharded = (
+        base.join(F.broadcast(sizes), "_block")
+        .withColumn(
+            "_n_shards",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("_block_n") / F.lit(max_series_per_block)),
+            ).cast("int"),
+        )
+        .withColumn("_shard", F.pmod(F.hash("doc_id"), F.col("_n_shards")))
+    )
+    return sharded.groupBy("_block", "_shard").applyInPandas(
+        compute, schema=CLUSTER_SCHEMA
+    )

@@ -234,14 +234,15 @@ def ivf_build(
         F.col(id_col).alias("vec_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("embedding"),
     )
+    # seed selection: orderBy + limit plans TakeOrderedAndProject (per-
+    # partition top-N, merged on the driver) — no single monster
+    # partition, unlike a global row_number window. The row_number below
+    # runs over n_lists rows only (tiny by construction).
+    seeds = base.orderBy("vec_id").limit(n_lists)
     w0 = Window.orderBy("vec_id")
-    centroids = (
-        base.withColumn("_rn", F.row_number().over(w0))
-        .filter(F.col("_rn") <= n_lists)
-        .select(
-            (F.col("_rn") - 1).alias("centroid_id"),
-            F.col("embedding").alias("cvec"),
-        )
+    centroids = seeds.select(
+        (F.row_number().over(w0) - 1).alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
     )
     for _ in range(lloyd_iters):
         assigned = _nearest_centroid(base, centroids, "embedding", "vec_id")
