@@ -38,6 +38,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="ignore the checkpoint manifest")
     p.add_argument("--no-raw", action="store_true",
                    help="skip the compressed raw tier")
+    p.add_argument("--no-stage", action="store_true",
+                   help="skip unit staging (input already unit-partitioned, "
+                        "e.g. Iceberg bucket(doc_id, N))")
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -55,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
         resume=not args.no_resume,
         max_units=args.max_units,
         write_raw=not args.no_raw,
+        stage=not args.no_stage,
     )
     print(json.dumps(summary))
     spark.stop()

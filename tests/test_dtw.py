@@ -246,3 +246,51 @@ def test_banded_kernel_speed_sanity():
     assert abs(d1 - d2) < 1e-9
     # O(n*w) vs O(n*m): must be dramatically faster
     assert banded_t < full_t / 5, (banded_t, full_t)
+
+
+def test_extended_metric_strings():
+    """Reference example.py:29-41 says metric strings mirror sklearn
+    pairwise_distances; the long-tail names beyond the core six."""
+    rng = np.random.RandomState(7)
+    a, b = rng.rand(5, 3), rng.rand(6, 3)
+    mink3 = np.array(
+        [[(np.abs(x - y) ** 3).sum() ** (1 / 3) for y in b] for x in a]
+    )
+    np.testing.assert_allclose(
+        pairwise_cost(a, b, "minkowski", p=3), mink3, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        pairwise_cost(a, b, "minkowski"),
+        pairwise_cost(a, b, "euclidean"),
+        rtol=1e-12,
+    )
+    can = np.array(
+        [[(np.abs(x - y) / (np.abs(x) + np.abs(y))).sum() for y in b] for x in a]
+    )
+    np.testing.assert_allclose(pairwise_cost(a, b, "canberra"), can, rtol=1e-12)
+    bc = np.array(
+        [[np.abs(x - y).sum() / np.abs(x + y).sum() for y in b] for x in a]
+    )
+    np.testing.assert_allclose(pairwise_cost(a, b, "braycurtis"), bc, rtol=1e-12)
+    corr = np.array([[1 - np.corrcoef(x, y)[0, 1] for y in b] for x in a])
+    np.testing.assert_allclose(
+        pairwise_cost(a, b, "correlation"), corr, rtol=1e-10
+    )
+
+
+def test_step_pattern_str_tabulate_github_format():
+    """Reference stepattern.py:114-122 renders tabulate github format;
+    the hand-rolled twin must match it (incl. dynamic column widths)."""
+    from tsclust_spark.compat.stepattern import Step, StepPattern, symmetric2
+
+    assert str(symmetric2) == (
+        "StepPattern: symmetric2\n"
+        "Normalization: N+M\n"
+        "|   Step |   dX |   dY |   Cost |\n"
+        "|--------|------|------|--------|\n"
+        "|      0 |    1 |    1 |      2 |\n"
+        "|      1 |    0 |    1 |      1 |\n"
+        "|      2 |    1 |    0 |      1 |"
+    )
+    wide = StepPattern("wide", [Step(1, 12, 100)], "N")
+    assert "|      0 |    1 |   12 |    100 |" in str(wide)

@@ -62,3 +62,46 @@ def test_rollup_partial_aggregation_before_shuffle(spark):
     # the exchange: two HashAggregates, exactly one Exchange between
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") == 1
+
+
+@pytest.mark.spark
+def test_iceberg_probe_and_merge_routing(spark, tmp_path_factory):
+    """C1/C3: the Iceberg runtime probe decides the executed MERGE path;
+    sandbox has no jar -> documented parquet fallback must run."""
+    from tsclust_spark.plans.merge import iceberg_merge_sql, merge_into
+    from tsclust_spark.session import iceberg_available
+
+    avail = iceberg_available(spark)
+    assert isinstance(avail, bool)
+
+    sql = iceberg_merge_sql("cat.db.agg_1m", "updates", ["doc_id", "bucket_ts"])
+    assert "MERGE INTO cat.db.agg_1m" in sql
+    assert "t.doc_id = u.doc_id AND t.bucket_ts = u.bucket_ts" in sql
+
+    out = str(tmp_path_factory.mktemp("mi"))
+    df = spark.createDataFrame([("d1", 1, 5)], "doc_id string, unit int, v int")
+    assert merge_into(
+        spark, df, ["doc_id"], ["unit"], parquet_path=f"{out}/t"
+    ) == "parquet"
+    if not avail:
+        # iceberg requested but no runtime -> parquet fallback executes
+        assert merge_into(
+            spark, df, ["doc_id"], ["unit"],
+            parquet_path=f"{out}/t", iceberg_table="cat.db.t",
+        ) == "parquet"
+        with pytest.raises(ValueError):
+            merge_into(spark, df, ["doc_id"], ["unit"])
+    assert spark.read.parquet(f"{out}/t").count() == 1
+
+
+@pytest.mark.spark
+def test_read_sequences_format_knob(spark):
+    from tsclust_spark.session import iceberg_available
+    from tsclust_spark.sources.datagen import read_sequences
+
+    with pytest.raises(ValueError):
+        read_sequences(spark, "smoke", format="orc")
+    if not iceberg_available(spark):
+        with pytest.raises(RuntimeError):
+            read_sequences(spark, "some.catalog.table", format="iceberg")
+    assert read_sequences(spark, "smoke", format="parquet").count() == 1000

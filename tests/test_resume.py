@@ -134,3 +134,37 @@ def test_failed_unit_recorded_and_retried(spark, seq, tmp_path_factory, monkeypa
     # retry completes only the remaining units (incl. the failed one)
     s2 = rj.run_rollup(spark, seq, out, n_units=4, write_raw=False)
     assert s2["units_processed"] == 3
+
+
+@pytest.mark.spark
+def test_staged_units_prune_input_scan(spark, seq, tmp_path_factory):
+    """run_rollup stages the input once, unit-partitioned; each unit's
+    scan then carries a PartitionFilter on unit= (pruned, not a full
+    rescan of the input per unit)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("staged"))
+    run_rollup(spark, seq, out, n_units=4, write_raw=False)
+    assert os.path.exists(f"{out}/_staged_n4/_SUCCESS")
+
+    staged = spark.read.parquet(f"{out}/_staged_n4")
+    assert staged.count() == seq.count()
+    plan = (
+        staged.filter(F.col("unit") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "unit" in plan
+
+
+@pytest.mark.spark
+def test_stage_false_keeps_predicate_path(spark, seq, tmp_path_factory):
+    import os
+
+    out = str(tmp_path_factory.mktemp("nostage"))
+    run_rollup(spark, seq, out, n_units=2, write_raw=False, stage=False)
+    assert not os.path.exists(f"{out}/_staged_n2")
+    assert spark.read.parquet(f"{out}/agg_1d").count() > 0

@@ -72,3 +72,63 @@ def test_streaming_incremental_restart(spark, tmp_path_factory):
         .filter(F.col("count") > 1)
     )
     assert dup.count() == 0
+
+
+@pytest.mark.spark
+def test_stateful_sequence_assembly(spark, tmp_path_factory):
+    """applyInPandasWithState assembler: out-of-order, cross-micro-batch,
+    duplicated fragments -> exactly one complete nested row per doc,
+    token arrays identical to the originals."""
+    from tsclust_spark.streaming.stateful import (
+        FRAGMENT_SCHEMA,
+        assemble_sequences_stream,
+    )
+
+    seq = (
+        spark.read.parquet(sequences_path("smoke"))
+        .filter((F.col("n_tok") > 0) & (F.col("n_tok") <= 64))
+        .limit(25)
+        .select("doc_id", "tokens", "n_tok")
+        .cache()
+    )
+    n_docs = seq.count()
+    frags = seq.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "value"), "n_tok"
+    ).select("doc_id", "pos", "value", "n_tok")
+
+    src = str(tmp_path_factory.mktemp("frag_src"))
+    # split each doc's fragments across 3 files (out of order across
+    # micro-batches) and duplicate one shard (at-least-once delivery)
+    for part in range(3):
+        frags.filter(F.pmod(F.col("pos"), F.lit(3)) == part).write.parquet(
+            f"{src}/f{2 - part}.parquet"
+        )
+    frags.filter(
+        (F.pmod(F.col("pos"), F.lit(3)) == 1) & (F.col("pos") < 10)
+    ).write.parquet(f"{src}/f3_dup.parquet")
+
+    stream = (
+        spark.readStream.schema(FRAGMENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    out = str(tmp_path_factory.mktemp("asm_out"))
+    ckpt = str(tmp_path_factory.mktemp("asm_ckpt"))
+    q = (
+        assemble_sequences_stream(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    assert got.count() == n_docs
+    assert got.filter(~F.col("complete")).count() == 0
+    joined = got.alias("g").join(seq.alias("s"), "doc_id")
+    assert joined.count() == n_docs
+    bad = joined.filter("g.tokens <> s.tokens OR g.n_tok <> s.n_tok")
+    assert bad.count() == 0

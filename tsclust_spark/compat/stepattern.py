@@ -65,12 +65,32 @@ class StepPattern:
         self.steps.remove(step)
 
     def __str__(self) -> str:
-        lines = [f"StepPattern: {self.name}", f"Normalization: {self.norm}"]
-        lines.append("|   Step |   dX |   dY |   Cost |")
-        lines.append("|--------|------|------|--------|")
-        for i, s in enumerate(self.steps):
-            lines.append(f"| {i:6d} | {s.dx:4d} | {s.dy:4d} | {s.cost:6d} |")
-        return "\n".join(lines)
+        # Byte-identical to the reference's tabulate(tablefmt="github",
+        # showindex="always") rendering (reference stepattern.py:114-122)
+        # without the tabulate dependency: per-column width =
+        # max(header, cells) + 2 (tabulate MIN_PADDING), numeric columns
+        # right-aligned, separator dashes = width + 2.
+        headers = ["Step", "dX", "dY", "Cost"]
+        rows = [
+            [str(i), str(s.dx), str(s.dy), str(s.cost)]
+            for i, s in enumerate(self.steps)
+        ]
+        widths = [
+            max(len(h), *(len(r[c]) for r in rows)) + 2 if rows else len(h) + 2
+            for c, h in enumerate(headers)
+        ]
+        def line(cells):
+            return "|" + "|".join(
+                f" {cell.rjust(w)} " for cell, w in zip(cells, widths)
+            ) + "|"
+        out = [
+            f"StepPattern: {self.name}",
+            f"Normalization: {self.norm}",
+            line(headers),
+            "|" + "|".join("-" * (w + 2) for w in widths) + "|",
+        ]
+        out.extend(line(r) for r in rows)
+        return "\n".join(out)
 
     def to_numpy(self) -> np.ndarray:
         """``(n_steps, 3)`` float array — the jit/UDF kernel encoding.

@@ -84,6 +84,31 @@ def pairwise_cost(s1: np.ndarray, s2: np.ndarray, metric="euclidean", **kwds) ->
         with np.errstate(invalid="ignore", divide="ignore"):
             sim = np.where(denom > 0, dot / denom, 0.0)
         return 1.0 - sim
+    if metric == "minkowski":
+        p = float(kwds.get("p", 2.0))
+        diff = np.abs(a[:, None, :] - b[None, :, :])
+        return np.power(np.power(diff, p).sum(axis=2), 1.0 / p)
+    if metric == "canberra":
+        diff = np.abs(a[:, None, :] - b[None, :, :])
+        denom = np.abs(a)[:, None, :] + np.abs(b)[None, :, :]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            terms = np.where(denom > 0, diff / denom, 0.0)
+        return terms.sum(axis=2)
+    if metric == "braycurtis":
+        num = np.abs(a[:, None, :] - b[None, :, :]).sum(axis=2)
+        den = np.abs(a[:, None, :] + b[None, :, :]).sum(axis=2)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(den > 0, num / den, 0.0)
+    if metric == "correlation":
+        # 1 - Pearson r between centered rows (scipy cdist semantics)
+        ac = a - a.mean(axis=1, keepdims=True)
+        bc = b - b.mean(axis=1, keepdims=True)
+        na = np.linalg.norm(ac, axis=1)
+        nb = np.linalg.norm(bc, axis=1)
+        denom = np.outer(na, nb)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sim = np.where(denom > 0, (ac @ bc.T) / denom, 0.0)
+        return 1.0 - sim
     raise ValueError(f"unsupported metric: {metric!r}")
 
 

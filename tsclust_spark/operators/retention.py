@@ -66,9 +66,20 @@ def enforce_retention(
             continue
         table = f"{out_dir}/raw" if tier == "raw" else f"{out_dir}/agg_{tier}"
         cutoff = (now - dt.timedelta(days=keep_days)).isoformat()
-        doomed = [
-            d for d in list_date_partitions(spark, table) if d < cutoff
-        ]
+        parts = list_date_partitions(spark, table)
+        fs, root = _fs(spark, table)
+        if not parts and fs.exists(root):
+            # a policy tier with data but no bucket_date=... partitions
+            # can never expire anything — that's a layout bug upstream
+            # (the round-1 raw tier hit exactly this), not "nothing to do"
+            import warnings
+
+            warnings.warn(
+                f"retention: tier '{tier}' at {table} has no bucket_date="
+                "partitions; the policy cannot be enforced on it",
+                stacklevel=2,
+            )
+        doomed = [d for d in parts if d < cutoff]
         dropped[tier] = doomed
         if dry_run:
             continue

@@ -30,6 +30,38 @@ def iceberg_merge_sql(target: str, source_view: str, key_cols: list[str]) -> str
     )
 
 
+def merge_into(
+    spark: SparkSession,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    parquet_path: str | None = None,
+    iceberg_table: str | None = None,
+) -> str:
+    """Route the tier upsert to the best available sink; returns which
+    path executed (``"iceberg"`` or ``"parquet"``).
+
+    When ``iceberg_table`` is given AND the Iceberg runtime is on the
+    classpath (:func:`tsclust_spark.session.iceberg_available`), the
+    real ``MERGE INTO`` statement from :func:`iceberg_merge_sql` is
+    executed via ``spark.sql``. Otherwise the partitioned-parquet
+    fallback (:func:`upsert_partitioned`) runs with identical upsert
+    semantics.
+    """
+    from tsclust_spark.session import iceberg_available
+
+    if iceberg_table and iceberg_available(spark):
+        updates.createOrReplaceTempView("_merge_updates")
+        spark.sql(iceberg_merge_sql(iceberg_table, "_merge_updates", key_cols))
+        return "iceberg"
+    if parquet_path is None:
+        raise ValueError(
+            "no Iceberg runtime on the classpath and no parquet_path fallback"
+        )
+    upsert_partitioned(spark, parquet_path, updates, key_cols, partition_cols)
+    return "parquet"
+
+
 def _path_exists(spark: SparkSession, path: str) -> bool:
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)

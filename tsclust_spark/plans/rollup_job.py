@@ -1,9 +1,11 @@
 """The resumable rollup job: sequences -> compressed raw + tier cascade
 (the north-star pipeline: BASELINE.json:6).
 
-Unit of work = ``pmod(hash(doc_id), n_units)`` slice. Per unit:
+Unit of work = ``pmod(hash(doc_id), n_units)`` slice. The input is
+staged ONCE into a unit-partitioned layout (or is already one, on
+Iceberg ``bucket(doc_id, N)``) so per-unit scans prune. Per unit:
 
-1. scan the sequence table, filter to the unit (C1/C10)
+1. scan the unit's partition of the staged table (C1/C10)
 2. Gorilla-compress each row -> ``raw`` retention tier (C23/C24)
 3. explode to points (C7) -> 1m/1h/1d continuous aggregates (C16/C17)
    with exact cascaded mean and a lower-medoid ``rep_value`` per window
@@ -129,8 +131,18 @@ def run_unit(
     out_dir: str,
     write_raw: bool = True,
 ) -> tuple[int, int]:
-    """Process one work unit; returns (rows, points)."""
-    part = seq.filter(F.pmod(F.hash("doc_id"), F.lit(n_units)) == unit)
+    """Process one work unit; returns (rows, points).
+
+    If ``seq`` already carries a ``unit`` column (the staged layout
+    written by :func:`run_rollup`), the filter is a partition-pruned
+    scan of that unit's files only; otherwise it falls back to the
+    ``pmod(hash(doc_id))`` predicate, which cannot prune and re-scans
+    the full input per unit (fine for one unit, ruinous for many).
+    """
+    if "unit" in seq.columns:
+        part = seq.filter(F.col("unit") == unit).drop("unit")
+    else:
+        part = seq.filter(F.pmod(F.hash("doc_id"), F.lit(n_units)) == unit)
     stats = part.agg(
         F.count(F.lit(1)).alias("rows"), F.coalesce(F.sum("n_tok"), F.lit(0)).alias("pts")
     ).collect()[0]
@@ -139,13 +151,28 @@ def run_unit(
         return 0, 0
 
     if write_raw:
-        blocks = compress_sequences(part).withColumn("unit", F.lit(unit))
+        # bucket_date = date of the block's LAST point (t0 + (n-1)*step):
+        # the raw retention policy drops a block only once its newest
+        # point ages past the cutoff. Without this date partition the
+        # raw tier was un-expirable (retention silently no-opped).
+        blocks = (
+            compress_sequences(part)
+            .withColumn("unit", F.lit(unit))
+            .withColumn(
+                "bucket_date",
+                F.to_date(
+                    F.timestamp_seconds(
+                        F.col("t0") + F.greatest(F.col("n"), F.lit(1)) - 1
+                    )
+                ),
+            )
+        )
         upsert_partitioned(
             spark,
             f"{out_dir}/raw",
             blocks,
             key_cols=["doc_id"],
-            partition_cols=["unit"],
+            partition_cols=["unit", "bucket_date"],
         )
 
     for tier, df in build_tiers_from_sequences(part).items():
@@ -170,13 +197,40 @@ def run_rollup(
     resume: bool = True,
     max_units: int | None = None,
     write_raw: bool = True,
+    stage: bool = True,
 ) -> dict:
-    """Full (resumable) rollup over all units; returns summary metrics."""
+    """Full (resumable) rollup over all units; returns summary metrics.
+
+    ``stage=True`` (default) writes the input ONCE as
+    ``{out_dir}/_staged_n{n_units}/unit=U/...`` so every unit's scan is
+    partition-pruned to its own files — one full input scan total
+    instead of n_units of them (the pmod-hash predicate cannot prune
+    parquet). The staged table is keyed by n_units and reused across
+    resumed runs (deterministic: same input + same n_units => same
+    staging). Pass ``stage=False`` when the source table is already
+    unit-partitioned — e.g. an Iceberg table with a
+    ``bucket(doc_id, N)`` partition transform, the real-cluster layout.
+    """
     manifest = Manifest(spark, f"{out_dir}/_manifest")
     all_units = [str(u) for u in range(n_units)]
     units = manifest.pending_units(all_units) if resume else all_units
     if max_units is not None:
         units = units[:max_units]
+
+    if stage and len(units) > 1:
+        from tsclust_spark.plans.merge import _path_exists
+
+        staged_path = f"{out_dir}/_staged_n{n_units}"
+        if not _path_exists(spark, f"{staged_path}/_SUCCESS"):
+            (
+                seq.withColumn(
+                    "unit", F.pmod(F.hash("doc_id"), F.lit(n_units))
+                )
+                .write.mode("overwrite")
+                .partitionBy("unit")
+                .parquet(staged_path)
+            )
+        seq = spark.read.parquet(staged_path)
 
     total_rows = total_points = 0
     t_start = time.time()

@@ -74,3 +74,20 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the session classpath.
+
+    Probed at runtime (not import) so the same code runs on a cluster
+    with ``--packages org.apache.iceberg:iceberg-spark-runtime-...``
+    and in this sandbox (no catalog jar): callers pick the executed
+    Iceberg MERGE path vs the partitioned-parquet fallback from this.
+    """
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False

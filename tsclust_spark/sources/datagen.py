@@ -110,8 +110,28 @@ def sequences_path(
     return path
 
 
-def read_sequences(spark, size_or_path: str = "smoke"):
-    """Scan (SURVEY.md C1): Iceberg on a cluster, parquet here."""
+def read_sequences(spark, size_or_path: str = "smoke", format: str | None = None):
+    """Scan (SURVEY.md C1).
+
+    ``format``: ``"parquet"`` (default) or ``"iceberg"`` (pass a catalog
+    table identifier as ``size_or_path``; requires the Iceberg Spark
+    runtime on the classpath — probe with
+    :func:`tsclust_spark.session.iceberg_available`). Defaults from
+    ``$SPARK_GRAFT_INPUT_FORMAT`` so cluster runs flip the format
+    without code changes.
+    """
+    format = format or os.environ.get("SPARK_GRAFT_INPUT_FORMAT", "parquet")
+    if format == "iceberg":
+        from tsclust_spark.session import iceberg_available
+
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "format='iceberg' requested but the Iceberg Spark runtime "
+                "jar is not on this session's classpath"
+            )
+        return spark.read.format("iceberg").load(size_or_path)
+    if format != "parquet":
+        raise ValueError(f"unknown sequence-table format: {format!r}")
     path = (
         size_or_path
         if os.path.sep in size_or_path or size_or_path.endswith(".parquet")
