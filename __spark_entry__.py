@@ -863,6 +863,110 @@ FROM ranked WHERE rank <= 1
 """
 
 
+def _q_dba_identical_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 barycenter hash-gate with real VALUES: the DBA of two
+    identical series is exactly that series (medoid init = the series;
+    per-position mean of two identical doubles is exact in IEEE), so
+    the oracle can state the expected center directly from the input —
+    a value-level SQL gate for a non-SQL iterative kernel."""
+    from tsclust_spark.kernels.barycenter import dba_per_group
+
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    base = emb.select(
+        F.col("vec_id").cast("string").alias("grp"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("tokens"),
+    )
+    copies = base.select(
+        "grp",
+        "tokens",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("copy"),
+    ).select(F.concat_ws("-", "grp", "copy").alias("doc_id"), "grp", "tokens")
+    out = dba_per_group(copies, group_col="grp", n_iter=2)
+    return out.select(
+        "group_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "center",
+                lambda x: F.floor(x * 100000.0 + F.lit(0.5))
+                .cast("bigint")
+                .cast("string"),
+            ),
+        ).alias("center_csv"),
+        "n_series",
+    )
+
+
+_SQL_DBA_IDENTICAL = """
+SELECT CAST(vec_id AS VARCHAR) AS group_id,
+       array_to_string(list_transform(embedding,
+         x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 100000.0 + 0.5) AS BIGINT)
+                   AS VARCHAR)), ',') AS center_csv,
+       CAST(2 AS INT) AS n_series
+FROM embeddings
+WHERE vec_id < 8
+"""
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: the index arithmetic Spark
+    owns (every 3rd frame of an n_frames video) is exact and fully
+    SQL-expressible, so it gets a real DuckDB twin."""
+    from tsclust_spark.operators.multimodal import sample_frames
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("doc_id"),
+        F.struct(
+            (F.pmod(F.col("vec_id"), F.lit(30)) + 1).cast("int").alias("n_frames")
+        ).alias("media"),
+    )
+    return sample_frames(emb, every_n=3)
+
+
+_SQL_FRAME_SAMPLE = """
+SELECT CAST(vec_id AS VARCHAR) AS doc_id,
+       CAST(u.f AS INT) AS frame_idx
+FROM embeddings, unnest(range(0, CAST(vec_id % 30 + 1 AS BIGINT), 3)) AS u(f)
+"""
+
+
+def _q_multimodal_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extraction plumbing gate: fixed feature dim
+    and normalized range hold for every row (decode itself is the
+    documented deterministic fake — the container has no media libs;
+    the Arrow/mapInPandas plumbing is what this gates)."""
+    from tsclust_spark.operators.multimodal import (
+        FEATURE_DIM,
+        attach_fake_media,
+        extract_features,
+    )
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").cast("string").alias("doc_id"))
+    )
+    feats = extract_features(attach_fake_media(docs))
+    return feats.select(
+        "doc_id",
+        (F.size("feature") == F.lit(FEATURE_DIM)).alias("dim_ok"),
+        F.aggregate(
+            "feature",
+            F.lit(True),
+            lambda acc, x: acc & (x >= 0.0) & (x <= 1.0),
+        ).alias("range_ok"),
+    )
+
+
+_SQL_MULTIMODAL_INVARIANTS = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       true AS dim_ok,
+       true AS range_ok
+FROM documents
+WHERE doc_id < 200
+"""
+
+
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsclust_spark.operators.textstats import token_count
 
@@ -1162,6 +1266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_full_probe": _q_ivf_topk,
         "lsh_topk_identical": _q_lsh_topk_identical,
         "embedding_near_dups": _q_embedding_near_dups,
+        "dba_identical_recovery": _q_dba_identical_recovery,
+        "frame_sample": _q_frame_sample,
+        "multimodal_invariants": _q_multimodal_invariants,
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
         "language_id": _q_language_id,
@@ -1201,6 +1308,9 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _SQL_COSINE_TOPK,
         "ivf_topk_full_probe": _SQL_COSINE_TOPK,
         "lsh_topk_identical": _SQL_LSH_TOPK_IDENTICAL,
+        "dba_identical_recovery": _SQL_DBA_IDENTICAL,
+        "frame_sample": _SQL_FRAME_SAMPLE,
+        "multimodal_invariants": _SQL_MULTIMODAL_INVARIANTS,
         "token_count": _SQL_TOKEN_COUNT,
         "fingerprint": _SQL_FINGERPRINT,
         "language_id": _make_sql_language_id(),
