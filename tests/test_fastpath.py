@@ -77,3 +77,19 @@ def test_arrow_1m_kernel_equals_jvm_fast_path(spark):
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+@pytest.mark.spark
+def test_arrow_1m_no_shuffle_in_plan(spark):
+    """The mapInArrow kernel must also be map-only: no Exchange."""
+    from tsclust_spark.kernels.rollup_arrow import rollup_sequences_1m_arrow
+
+    seq = read_sequences(spark, "smoke")
+    plan = (
+        rollup_sequences_1m_arrow(seq)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan

@@ -90,12 +90,14 @@ def build_tiers_from_sequences(
     1/3600th of the points).
 
     Two interchangeable, bit-exact 1m kernels (tests/test_fastpath.py):
-    ``arrow`` (numpy reduceat in Python workers — measured 45M pts/s at
-    8 cores here and scales ~linearly, each worker its own process) and
-    ``jvm`` (pure array expressions, whole-stage codegen — faster at
-    very low core counts, but anti-scales under this sandbox's shared
-    JVM heap). Default arrow: its isolated-worker shape is also what
-    scales on a 1000-executor cluster.
+    ``arrow`` (zero-copy mapInArrow: the list column's flat buffers go
+    straight into numpy reduceat — measured 0.976 scaling efficiency
+    local[1]->local[4] and 22.6M rolled-up pts/s end-to-end incl. sinks
+    at sf0.1/local[32], BENCH/BASELINE.md) and ``jvm`` (pure array
+    expressions, whole-stage codegen — competitive at very low core
+    counts, but anti-scales under this sandbox's shared JVM heap).
+    Default arrow: its isolated-worker shape is also what scales on a
+    1000-executor cluster.
     """
     from tsclust_spark.kernels.rollup_arrow import rollup_sequences_1m_arrow
     from tsclust_spark.operators.rollup import rollup_sequences_1m_fast
