@@ -147,3 +147,35 @@ def test_spark_roundtrip_gate(spark):
     tot_raw = sum(r.n * 8 for r in rows)
     tot_xor = sum(len(r.xor) for r in rows)
     assert tot_xor < tot_raw
+
+
+def test_xor_batch_byte_identical_to_per_row():
+    """encode_xor_batch must produce byte-identical blobs to per-row
+    encode_xor, across empty/single/constant/wrapping/float rows."""
+    from tsclust_spark.kernels.codec import encode_xor_batch
+
+    rng = np.random.default_rng(3)
+    rows = [
+        rng.integers(0, 50257, int(ln)).astype(np.int64)
+        for ln in rng.integers(0, 300, 100)
+    ]
+    rows += [
+        np.array([], dtype=np.int64),
+        np.array([7], dtype=np.int64),
+        np.full(50, 42, dtype=np.int64),
+        np.array([2**62, -(2**62), 0, 2**63 - 1, -(2**63)], dtype=np.int64),
+    ]
+    nonempty = [r for r in rows if r.size]
+    flat = np.concatenate(nonempty) if nonempty else np.empty(0, np.int64)
+    lengths = np.array([r.size for r in rows])
+    got = encode_xor_batch(flat, lengths)
+    assert got == [encode_xor(r) for r in rows]
+
+    frows = [
+        rng.normal(size=int(ln)).astype(np.float64)
+        for ln in rng.integers(0, 80, 60)
+    ]
+    fne = [r for r in frows if r.size]
+    fflat = np.concatenate(fne) if fne else np.empty(0, np.float64)
+    got = encode_xor_batch(fflat, np.array([r.size for r in frows]))
+    assert got == [encode_xor(r) for r in frows]
