@@ -389,6 +389,28 @@ FROM events
 """
 
 
+def _q_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21 approximate path: HyperLogLog++ distinct estimate must land
+    within its accuracy envelope of the exact count (rsd=0.02 -> ±10%
+    is a generous deterministic bound; Spark's HLL is deterministic for
+    fixed data). Boolean gate with a constant-true oracle — engine HLL
+    sketches have no cross-engine value twin."""
+    ev = _load(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+    )
+    return agg.select(
+        (F.col("approx") >= F.col("exact") * 0.9).alias("lower_ok"),
+        (F.col("approx") <= F.col("exact") * 1.1).alias("upper_ok"),
+    )
+
+
+_SQL_APPROX_DISTINCT = """
+SELECT true AS lower_ok, true AS upper_ok
+"""
+
+
 def _q_semi_anti_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12: left-semi + left-anti joins (the resume-skip shape): orders
     from customers that exist (semi) minus orders shipped in lineitem
@@ -1283,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": _q_topk_orders_per_customer,
         "revenue_per_nation": _q_revenue_per_nation,
         "distinct_event_types": _q_distinct_event_types,
+        "approx_distinct_bounds": _q_approx_distinct_bounds,
         "semi_anti_resume": _q_semi_anti_resume,
     }
 
@@ -1325,5 +1348,6 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders_per_customer": _SQL_TOPK_ORDERS,
         "revenue_per_nation": _SQL_REVENUE_PER_NATION,
         "distinct_event_types": _SQL_DISTINCT_EVENT_TYPES,
+        "approx_distinct_bounds": _SQL_APPROX_DISTINCT,
         "semi_anti_resume": _SQL_SEMI_ANTI,
     }
