@@ -105,3 +105,33 @@ def test_read_sequences_format_knob(spark):
         with pytest.raises(RuntimeError):
             read_sequences(spark, "some.catalog.table", format="iceberg")
     assert read_sequences(spark, "smoke", format="parquet").count() == 1000
+
+
+@pytest.mark.spark
+def test_upsert_partitioned_update_insert_and_fastpath(spark, tmp_path_factory):
+    """MERGE fallback semantics, both physical paths: overlapping
+    partitions (read-back merge: matched keys updated, new keys
+    inserted, sibling rows kept) and disjoint partitions (no-overlap
+    fast path: untouched partitions never rewritten)."""
+    from tsclust_spark.plans.merge import upsert_partitioned
+
+    out = str(tmp_path_factory.mktemp("ups")) + "/t"
+    schema = "k string, part int, v int"
+    base = spark.createDataFrame(
+        [("a", 1, 10), ("b", 1, 20), ("c", 2, 30)], schema
+    )
+    upsert_partitioned(spark, out, base, ["k"], ["part"])
+
+    # overlap path: update a, insert d, keep b; partition 2 untouched
+    upd = spark.createDataFrame([("a", 1, 99), ("d", 1, 40)], schema)
+    upsert_partitioned(spark, out, upd, ["k"], ["part"])
+    got = {r.k: (r.part, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {"a": (1, 99), "b": (1, 20), "c": (2, 30), "d": (1, 40)}
+
+    # disjoint fast path: a brand-new partition
+    new = spark.createDataFrame([("e", 3, 50)], schema)
+    upsert_partitioned(spark, out, new, ["k"], ["part"])
+    got = {r.k: (r.part, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {
+        "a": (1, 99), "b": (1, 20), "c": (2, 30), "d": (1, 40), "e": (3, 50)
+    }

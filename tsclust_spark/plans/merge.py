@@ -69,6 +69,33 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(hpath)
 
 
+def _existing_partitions(
+    spark: SparkSession, path: str, n_levels: int
+) -> set[tuple[str, ...]]:
+    """Partition-value tuples present under ``path`` (``col=val`` dirs,
+    ``n_levels`` deep) — a pure filesystem-metadata walk, no Spark job.
+    The Iceberg analogue is the partitions metadata table."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return set()
+    out: set[tuple[str, ...]] = set()
+    stack = [(root, ())]
+    while stack:
+        p, vals = stack.pop()
+        for status in fs.listStatus(p):
+            name = status.getPath().getName()
+            if not status.isDirectory() or "=" not in name:
+                continue
+            nvals = vals + (name.split("=", 1)[1],)
+            if len(nvals) == n_levels:
+                out.add(nvals)
+            else:
+                stack.append((status.getPath(), nvals))
+    return out
+
+
 def upsert_partitioned(
     spark: SparkSession,
     target_path: str,
@@ -85,7 +112,25 @@ def upsert_partitioned(
     """
     updates = updates.persist()
     try:
+        overlap = True
         if _path_exists(spark, target_path):
+            # no-overlap fast path (the append-mostly common case: a new
+            # unit or a new date lands entirely in fresh partitions):
+            # compare the updates' partition values against a filesystem
+            # metadata walk — when disjoint, skip the read-back merge AND
+            # the localCheckpoint materialization entirely; dynamic
+            # partition overwrite below already only touches written
+            # partitions. Iceberg MERGE gets this for free via file
+            # skipping; this keeps the parquet fallback honest about it.
+            existing = _existing_partitions(
+                spark, target_path, len(partition_cols)
+            )
+            upd_parts = {
+                tuple(str(v) for v in r)
+                for r in updates.select(*partition_cols).distinct().collect()
+            }
+            overlap = bool(existing & upd_parts)
+        if _path_exists(spark, target_path) and overlap:
             current = spark.read.parquet(target_path)
             # restrict the read-back to affected partitions (pruned scan)
             parts = updates.select(*partition_cols).distinct()
