@@ -179,3 +179,18 @@ def test_xor_batch_byte_identical_to_per_row():
     fflat = np.concatenate(fne) if fne else np.empty(0, np.float64)
     got = encode_xor_batch(fflat, np.array([r.size for r in frows]))
     assert got == [encode_xor(r) for r in frows]
+
+
+@pytest.mark.spark
+def test_compress_plan_is_map_only(spark):
+    """Raw-tier compression must add no Exchange: one scan, one
+    mapInArrow, straight to the sink."""
+    from tsclust_spark.kernels.codec import compress_sequences
+    from tsclust_spark.sources.datagen import read_sequences
+
+    seq = read_sequences(spark, "smoke")
+    plan = (
+        compress_sequences(seq)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan

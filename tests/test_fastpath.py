@@ -93,3 +93,50 @@ def test_arrow_1m_no_shuffle_in_plan(spark):
     )
     assert "Exchange" not in plan
     assert "MapInArrow" in plan
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            min_size=0,
+            max_size=200,
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_rollup_flat_property_vs_naive(rows):
+    """rollup_1m_flat == a naive per-bucket python oracle, for ANY int32
+    input (including empty rows, full-int32 range, ragged tails)."""
+    import numpy as np
+
+    from tsclust_spark.kernels.rollup_arrow import rollup_1m_flat
+
+    lengths = np.array([len(r) for r in rows], dtype=np.int64)
+    nonempty = [np.array(r, dtype=np.int32) for r in rows if r]
+    flat = (
+        np.concatenate(nonempty) if nonempty else np.empty(0, dtype=np.int32)
+    )
+    got = rollup_1m_flat(flat, lengths, per_bucket=60)
+    out = {
+        (int(r), int(b)): (mi, ma, s, c, rep)
+        for r, b, mi, ma, s, c, rep in zip(
+            got["row_idx"], got["bucket_idx"], got["min"], got["max"],
+            got["sum"], got["count"], got["rep"],
+        )
+    }
+    want = {}
+    for ri, row in enumerate(rows):
+        for b in range(0, (len(row) + 59) // 60):
+            seg = sorted(row[b * 60 : (b + 1) * 60])
+            want[(ri, b)] = (
+                min(seg), max(seg), sum(seg), len(seg),
+                seg[(len(seg) + 1) // 2 - 1],
+            )
+    assert {k: tuple(int(x) for x in v) for k, v in out.items()} == want
