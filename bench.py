@@ -454,9 +454,14 @@ def scaling_main() -> int:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--scaling-one", str(cores)],
-                capture_output=True, text=True, timeout=900,
+                capture_output=True, text=True, timeout=1800,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
+            if out.returncode != 0 or not out.stdout.strip():
+                raise RuntimeError(
+                    f"scaling leg cores={cores} failed "
+                    f"(rc={out.returncode}):\n{out.stderr[-2000:]}"
+                )
             line = out.stdout.strip().splitlines()[-1]
             leg = json.loads(line)
             legs[cores].append(leg)

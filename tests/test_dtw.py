@@ -294,3 +294,19 @@ def test_step_pattern_str_tabulate_github_format():
     )
     wide = StepPattern("wide", [Step(1, 12, 100)], "N")
     assert "|      0 |    1 |   12 |    100 |" in str(wide)
+
+
+def test_metric_degenerate_rows_defined_not_nan():
+    """Zero-variance / all-zero rows: defined distances (nan would poison
+    the DTW DP): constant-vs-constant correlates perfectly, all-zero
+    braycurtis rows are identical."""
+    const_a = np.full((2, 8), 5.0)
+    const_b = np.full((3, 8), -2.0)
+    d = pairwise_cost(const_a, const_b, "correlation")
+    assert np.all(d == 0.0)
+    varied = np.arange(8.0)[None, :]
+    d = pairwise_cost(const_a, varied, "correlation")
+    assert np.all(d == 1.0)
+    assert not np.isnan(d).any()
+    z = np.zeros((2, 4))
+    assert np.all(pairwise_cost(z, z, "braycurtis") == 0.0)

@@ -135,3 +135,43 @@ def test_upsert_partitioned_update_insert_and_fastpath(spark, tmp_path_factory):
     assert got == {
         "a": (1, 99), "b": (1, 20), "c": (2, 30), "d": (1, 40), "e": (3, 50)
     }
+
+
+@pytest.mark.spark
+def test_upsert_hive_escaped_partition_values(spark, tmp_path_factory):
+    """Partition values Hive-escapes in dir names (':' -> %3A) must
+    still be detected as overlapping — a false 'disjoint' would skip the
+    merge and dynamic overwrite would drop sibling rows."""
+    from tsclust_spark.plans.merge import upsert_partitioned
+
+    out = str(tmp_path_factory.mktemp("esc")) + "/t"
+    schema = "k string, part string, v int"
+    base = spark.createDataFrame([("k1", "a:b", 1), ("k2", "a:b", 2)], schema)
+    upsert_partitioned(spark, out, base, ["k"], ["part"])
+    upd = spark.createDataFrame([("k1", "a:b", 9)], schema)
+    upsert_partitioned(spark, out, upd, ["k"], ["part"])
+    got = {r.k: r.v for r in spark.read.parquet(out).collect()}
+    assert got == {"k1": 9, "k2": 2}
+
+
+@pytest.mark.spark
+def test_raw_upsert_replaces_blob_that_moved_date(spark, tmp_path_factory):
+    """Raw tier: bucket_date derives from the data (block END date), so a
+    re-ingested doc whose block ends on a different date must REPLACE its
+    old blob, not leave a stale duplicate in the old date partition."""
+    from pyspark.sql import functions as F
+
+    from tsclust_spark.plans.rollup_job import run_unit
+
+    out = str(tmp_path_factory.mktemp("rawmv"))
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    long_toks = list(range(90_000))  # ends 2024-01-02 (> 86400 s)
+    seq_a = spark.createDataFrame([("d1", long_toks, 90_000, "web")], schema)
+    run_unit(spark, seq_a, 0, 1, out)
+    seq_b = spark.createDataFrame([("d1", [5, 6, 7], 3, "web")], schema)
+    run_unit(spark, seq_b, 0, 1, out)
+
+    raw = spark.read.parquet(f"{out}/raw")
+    rows = raw.filter(F.col("doc_id") == "d1").collect()
+    assert len(rows) == 1, "stale blob left in the old bucket_date partition"
+    assert rows[0].n == 3

@@ -98,9 +98,15 @@ def pairwise_cost(s1: np.ndarray, s2: np.ndarray, metric="euclidean", **kwds) ->
         num = np.abs(a[:, None, :] - b[None, :, :]).sum(axis=2)
         den = np.abs(a[:, None, :] + b[None, :, :]).sum(axis=2)
         with np.errstate(invalid="ignore", divide="ignore"):
+            # den == 0 only when both rows are all-zero, i.e. identical:
+            # define distance 0 there (scipy yields nan, which would
+            # poison the DTW DP)
             return np.where(den > 0, num / den, 0.0)
     if metric == "correlation":
-        # 1 - Pearson r between centered rows (scipy cdist semantics)
+        # 1 - Pearson r between centered rows. Degenerate (zero-variance)
+        # rows are defined rather than nan (scipy's answer), which would
+        # poison the DTW DP: two constant rows correlate perfectly ->
+        # distance 0; constant vs non-constant is undefined -> distance 1.
         ac = a - a.mean(axis=1, keepdims=True)
         bc = b - b.mean(axis=1, keepdims=True)
         na = np.linalg.norm(ac, axis=1)
@@ -108,7 +114,9 @@ def pairwise_cost(s1: np.ndarray, s2: np.ndarray, metric="euclidean", **kwds) ->
         denom = np.outer(na, nb)
         with np.errstate(invalid="ignore", divide="ignore"):
             sim = np.where(denom > 0, (ac @ bc.T) / denom, 0.0)
-        return 1.0 - sim
+        dist = 1.0 - sim
+        both_const = (na == 0)[:, None] & (nb == 0)[None, :]
+        return np.where(both_const, 0.0, dist)
     raise ValueError(f"unsupported metric: {metric!r}")
 
 

@@ -136,9 +136,14 @@ def cluster_sequences(
     base = seq_df.withColumn(
         "_block", F.col(block_col) if block_col else F.lit("all")
     )
+    # partial-aggregated count per block (map-side combine: no hot
+    # partition even for a skewed block key). No broadcast hint: block
+    # keys can be high-cardinality (LSH buckets), where forcing a
+    # broadcast would blow the driver — AQE picks broadcast itself when
+    # the size table is actually small.
     sizes = base.groupBy("_block").agg(F.count(F.lit(1)).alias("_block_n"))
     sharded = (
-        base.join(F.broadcast(sizes), "_block")
+        base.join(sizes, "_block")
         .withColumn(
             "_n_shards",
             F.greatest(

@@ -69,18 +69,28 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(hpath)
 
 
-def _existing_partitions(
-    spark: SparkSession, path: str, n_levels: int
-) -> set[tuple[str, ...]]:
-    """Partition-value tuples present under ``path`` (``col=val`` dirs,
-    ``n_levels`` deep) — a pure filesystem-metadata walk, no Spark job.
-    The Iceberg analogue is the partitions metadata table."""
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_partition_value(name: str) -> str:
+    """Invert Hive's path escaping (%XX for special chars) so directory
+    names compare equal to ``str(value)``."""
+    from urllib.parse import unquote
+
+    return unquote(name)
+
+
+def _partition_dirs(spark: SparkSession, path: str, n_levels: int) -> dict:
+    """{partition-value tuple (Hive-unescaped): hadoop Path} for every
+    ``col=val`` directory ``n_levels`` deep under ``path`` — a pure
+    filesystem-metadata walk, no Spark job. The Iceberg analogue is the
+    partitions metadata table."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
-        return set()
-    out: set[tuple[str, ...]] = set()
+        return {}
+    out: dict = {}
     stack = [(root, ())]
     while stack:
         p, vals = stack.pop()
@@ -88,12 +98,20 @@ def _existing_partitions(
             name = status.getPath().getName()
             if not status.isDirectory() or "=" not in name:
                 continue
-            nvals = vals + (name.split("=", 1)[1],)
+            nvals = vals + (
+                _unescape_partition_value(name.split("=", 1)[1]),
+            )
             if len(nvals) == n_levels:
-                out.add(nvals)
+                out[nvals] = status.getPath()
             else:
                 stack.append((status.getPath(), nvals))
     return out
+
+
+def _existing_partitions(
+    spark: SparkSession, path: str, n_levels: int
+) -> set[tuple[str, ...]]:
+    return set(_partition_dirs(spark, path, n_levels))
 
 
 def upsert_partitioned(
@@ -102,6 +120,7 @@ def upsert_partitioned(
     updates: DataFrame,
     key_cols: list[str],
     partition_cols: list[str],
+    prune_cols: list[str] | None = None,
 ) -> None:
     """Parquet MERGE fallback with partition-level surgical replace.
 
@@ -109,7 +128,25 @@ def upsert_partitioned(
     ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set here per
     write) so ``mode("overwrite")`` replaces only the partitions present
     in the written frame.
+
+    ``prune_cols`` (default: ``partition_cols``) limits which partition
+    columns the read-back anti-join is pruned on. IMPORTANT: when a
+    partition column is NOT a pure function of the key columns (e.g. a
+    data-derived ``bucket_date`` under a ``doc_id`` key), full-tuple
+    pruning would miss a key's old row sitting in a different partition
+    and leave a stale duplicate — pass the key-determined prefix (e.g.
+    ``["unit"]``) so every partition the key could live in is merged.
+
+    Dynamic partition overwrite only replaces partitions PRESENT in the
+    written frame, so when ``prune_cols`` is a proper prefix the merge
+    additionally deletes any affected partition directory left with zero
+    surviving rows (a re-keyed/moved row's old home) — matching what an
+    Iceberg ``MERGE`` does natively via file-level deletes.
     """
+    if prune_cols is None:
+        prune_cols = partition_cols
+    if partition_cols[: len(prune_cols)] != prune_cols:
+        raise ValueError("prune_cols must be a prefix of partition_cols")
     updates = updates.persist()
     try:
         overlap = True
@@ -122,19 +159,25 @@ def upsert_partitioned(
             # partition overwrite below already only touches written
             # partitions. Iceberg MERGE gets this for free via file
             # skipping; this keeps the parquet fallback honest about it.
-            existing = _existing_partitions(
-                spark, target_path, len(partition_cols)
-            )
-            upd_parts = {
-                tuple(str(v) for v in r)
-                for r in updates.select(*partition_cols).distinct().collect()
+            # Values are compared after Hive-unescaping the directory
+            # names; a null partition value never matches (conservative:
+            # falls back to the merge path).
+            existing = {
+                t[: len(prune_cols)]
+                for t in _existing_partitions(
+                    spark, target_path, len(partition_cols)
+                )
             }
-            overlap = bool(existing & upd_parts)
+            upd_rows = updates.select(*prune_cols).distinct().collect()
+            has_null = any(any(v is None for v in r) for r in upd_rows)
+            upd_parts = {tuple(str(v) for v in r) for r in upd_rows}
+            overlap = has_null or bool(existing & upd_parts)
+        vacated: list = []
         if _path_exists(spark, target_path) and overlap:
             current = spark.read.parquet(target_path)
-            # restrict the read-back to affected partitions (pruned scan)
-            parts = updates.select(*partition_cols).distinct()
-            affected = current.join(F.broadcast(parts), partition_cols, "left_semi")
+            # restrict the read-back to the key-safe prune prefix
+            parts = updates.select(*prune_cols).distinct()
+            affected = current.join(F.broadcast(parts), prune_cols, "left_semi")
             keep = affected.join(
                 updates.select(*key_cols).distinct(), key_cols, "left_anti"
             )
@@ -143,6 +186,32 @@ def upsert_partitioned(
             # the plan reads; localCheckpoint materializes first (on a
             # cluster use a reliable checkpoint dir instead)
             merged = merged.localCheckpoint(eager=True)
+            if prune_cols != partition_cols:
+                # a data-derived partition column can leave an affected
+                # partition with ZERO surviving rows (e.g. a doc's block
+                # moved to a new bucket_date) — dynamic overwrite only
+                # replaces partitions present in the written frame, so
+                # fully-vacated directories must be deleted explicitly
+                # (Iceberg MERGE deletes their files natively)
+                dirs = _partition_dirs(
+                    spark, target_path, len(partition_cols)
+                )
+                upd_prefixes = {
+                    tuple(str(v) for v in r)
+                    for r in updates.select(*prune_cols).distinct().collect()
+                }
+                affected_full = {
+                    t
+                    for t in dirs
+                    if t[: len(prune_cols)] in upd_prefixes
+                }
+                merged_full = {
+                    tuple(str(v) for v in r)
+                    for r in merged.select(*partition_cols)
+                    .distinct()
+                    .collect()
+                }
+                vacated = [dirs[t] for t in affected_full - merged_full]
         else:
             merged = updates
         (
@@ -152,5 +221,11 @@ def upsert_partitioned(
             .partitionBy(*partition_cols)
             .parquet(target_path)
         )
+        if vacated:
+            jvm = spark._jvm
+            root = jvm.org.apache.hadoop.fs.Path(target_path)
+            fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+            for p in vacated:
+                fs.delete(p, True)
     finally:
         updates.unpersist()

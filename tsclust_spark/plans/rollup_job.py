@@ -132,6 +132,8 @@ def run_unit(
     n_units: int,
     out_dir: str,
     write_raw: bool = True,
+    t0_epoch: int = 1704067200,
+    step_seconds: int = 1,
 ) -> tuple[int, int]:
     """Process one work unit; returns (rows, points).
 
@@ -158,26 +160,42 @@ def run_unit(
         # point ages past the cutoff. Without this date partition the
         # raw tier was un-expirable (retention silently no-opped).
         blocks = (
-            compress_sequences(part)
+            compress_sequences(part, t0_epoch, step_seconds)
             .withColumn("unit", F.lit(unit))
             .withColumn(
                 "bucket_date",
                 F.to_date(
                     F.timestamp_seconds(
-                        F.col("t0") + F.greatest(F.col("n"), F.lit(1)) - 1
+                        F.col("t0")
+                        + (F.greatest(F.col("n"), F.lit(1)) - 1)
+                        * F.lit(step_seconds)
                     )
                 ),
             )
         )
+        # prune on unit only: bucket_date is data-derived (a re-ingested
+        # doc's block can END on a different date), so full-tuple pruning
+        # would leave the doc's old blob stranded in the old date
+        # partition as a stale duplicate. unit IS a pure function of
+        # doc_id, so unit-level pruning merges every partition the key
+        # could occupy.
         upsert_partitioned(
             spark,
             f"{out_dir}/raw",
             blocks,
             key_cols=["doc_id"],
             partition_cols=["unit", "bucket_date"],
+            prune_cols=["unit"],
         )
 
-    for tier, df in build_tiers_from_sequences(part).items():
+    import datetime as _dt
+
+    t0_str = _dt.datetime.fromtimestamp(
+        t0_epoch, _dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    for tier, df in build_tiers_from_sequences(
+        part, t0=t0_str, step_seconds=step_seconds
+    ).items():
         out = df.withColumn("unit", F.lit(unit)).withColumn(
             "bucket_date", F.to_date("bucket_ts")
         )
@@ -223,7 +241,12 @@ def run_rollup(
         from tsclust_spark.plans.merge import _path_exists
 
         staged_path = f"{out_dir}/_staged_n{n_units}"
-        if not _path_exists(spark, f"{staged_path}/_SUCCESS"):
+        # the staged snapshot is only reusable under resume semantics
+        # (resume REQUIRES an immutable input — otherwise completed vs
+        # pending units would mix two versions anyway). A resume=False
+        # run makes no such promise, so it restages from the live input
+        # rather than silently processing a stale snapshot.
+        if not resume or not _path_exists(spark, f"{staged_path}/_SUCCESS"):
             (
                 seq.withColumn(
                     "unit", F.pmod(F.hash("doc_id"), F.lit(n_units))
