@@ -283,6 +283,109 @@ FROM walls
 """
 
 
+def _q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: odd-second events enriched with the latest
+    even-second reading at-or-before each timestamp, per user. Oracle is
+    DuckDB's native ASOF LEFT JOIN — same semantics (l.ts >= r.ts)."""
+    from tsclust_spark.operators.asof import asof_join
+
+    base = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 30)
+        .select(F.col("user_id").alias("doc_id"), "ts", "value")
+    )
+    parity = F.pmod(F.unix_timestamp("ts"), F.lit(2))
+    left = (
+        base.filter(parity == 1)
+        .groupBy("doc_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    right = (
+        base.filter(parity == 0)
+        .groupBy("doc_id", "ts")
+        .agg(F.max("value").alias("rv"))
+    )
+    out = asof_join(left, right, key_col="doc_id", ts_col="ts",
+                    right_value_col="rv")
+    # driver-facing variant is the INNER as-of (matched rows only): a
+    # NULL asof_ts/asof_value column sorts differently enough across
+    # pandas versions to break value-hash row alignment; the left-join
+    # null semantics are pytest-covered via the operator tests
+    return out.filter(F.col("asof_ts").isNotNull()).select(
+        "doc_id",
+        "ts",
+        _sround("value", 6).alias("value"),
+        _sround("asof_value", 6).alias("asof_value"),
+        "asof_ts",
+    )
+
+
+_SQL_ASOF_JOIN = f"""
+WITH base AS (
+  SELECT user_id AS doc_id, ts, value FROM events WHERE user_id <= 30
+),
+l AS (
+  SELECT doc_id, ts, max(value) AS value FROM base
+  WHERE CAST(floor(epoch(ts)) AS BIGINT) % 2 = 1 GROUP BY 1, 2
+),
+r AS (
+  SELECT doc_id, ts, max(value) AS rv FROM base
+  WHERE CAST(floor(epoch(ts)) AS BIGINT) % 2 = 0 GROUP BY 1, 2
+)
+SELECT l.doc_id, l.ts,
+       {_sql_round('l.value', 6)} AS value,
+       {_sql_round('r.rv', 6)} AS asof_value,
+       r.ts AS asof_ts
+FROM l ASOF JOIN r ON l.doc_id = r.doc_id AND l.ts >= r.ts
+"""
+
+
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (10-minute inactivity): per-session
+    start/end/count/duration — the lag + cumulative-boundary-sum window
+    pair, one shuffle per key."""
+    from tsclust_spark.operators.asof import session_stats
+
+    pts = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 30)
+        .select(F.col("user_id").alias("doc_id"), "ts")
+    )
+    return session_stats(pts, gap_seconds=600)
+
+
+_SQL_SESSION_STATS = """
+WITH pts AS (
+  SELECT user_id AS doc_id, ts FROM events WHERE user_id <= 30
+),
+lagged AS (
+  SELECT doc_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR CAST(floor(epoch(ts)) AS BIGINT)
+              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 600
+         THEN 1 ELSE 0 END AS is_new
+  FROM pts
+  WINDOW w AS (PARTITION BY doc_id ORDER BY ts)
+),
+sess AS (
+  SELECT doc_id, ts,
+         CAST(sum(is_new) OVER (
+           PARTITION BY doc_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT)
+           AS session_id
+  FROM lagged
+)
+SELECT doc_id, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(floor(epoch(max(ts))) AS BIGINT)
+         - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+FROM sess
+GROUP BY 1, 2
+"""
+
+
 def _q_salted_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5: two-stage salted aggregation over the skewed source column —
     oracle is the plain GROUP BY, proving the salted plan is exact."""
@@ -1301,6 +1404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_positions": _q_explode_positions,
         "gapfill_locf": _q_gapfill_locf,
         "gapfill_linear": _q_gapfill_linear,
+        "asof_join_events": _q_asof_join_events,
+        "session_stats": _q_session_stats,
         "salted_source_stats": _q_salted_source_stats,
         "topk_orders_per_customer": _q_topk_orders_per_customer,
         "revenue_per_nation": _q_revenue_per_nation,
@@ -1344,6 +1449,8 @@ def oracle_sql() -> dict[str, str]:
         "explode_positions": _SQL_EXPLODE_POSITIONS,
         "gapfill_locf": _SQL_GAPFILL_LOCF,
         "gapfill_linear": _SQL_GAPFILL_LINEAR,
+        "asof_join_events": _SQL_ASOF_JOIN,
+        "session_stats": _SQL_SESSION_STATS,
         "salted_source_stats": _SQL_SALTED_SOURCE_STATS,
         "topk_orders_per_customer": _SQL_TOPK_ORDERS,
         "revenue_per_nation": _SQL_REVENUE_PER_NATION,

@@ -1,0 +1,112 @@
+"""As-of join + sessionization semantics (operators/asof.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return f"2024-01-01 00:{s}"
+
+
+@pytest.mark.spark
+def test_asof_join_semantics(spark):
+    from tsclust_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            ("d1", _ts("00:05"), 1.0),  # before any right row -> null
+            ("d1", _ts("00:10"), 2.0),  # exact ts match visible
+            ("d1", _ts("00:45"), 3.0),  # latest right <= 00:45 is 00:30
+            ("d2", _ts("01:00"), 4.0),  # other key: only its own rights
+        ],
+        "doc_id string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            ("d1", _ts("00:10"), 10.0),
+            ("d1", _ts("00:30"), 30.0),
+            ("d2", _ts("00:50"), 50.0),
+        ],
+        "doc_id string, ts string, rv double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    out = {
+        (r.doc_id, str(r.ts)): (r.asof_value, r.asof_ts and str(r.asof_ts))
+        for r in asof_join(
+            left, right, key_col="doc_id", ts_col="ts", right_value_col="rv"
+        ).collect()
+    }
+    assert out[("d1", "2024-01-01 00:00:05")] == (None, None)
+    assert out[("d1", "2024-01-01 00:00:10")] == (10.0, "2024-01-01 00:00:10")
+    assert out[("d1", "2024-01-01 00:00:45")] == (30.0, "2024-01-01 00:00:30")
+    assert out[("d2", "2024-01-01 00:01:00")] == (50.0, "2024-01-01 00:00:50")
+
+    # tolerance: a match older than 10s is nulled out
+    tol = {
+        (r.doc_id, str(r.ts)): r.asof_value
+        for r in asof_join(
+            left, right, key_col="doc_id", ts_col="ts",
+            right_value_col="rv", tolerance_seconds=10,
+        ).collect()
+    }
+    assert tol[("d1", "2024-01-01 00:00:10")] == 10.0  # 0s old
+    assert tol[("d1", "2024-01-01 00:00:45")] is None  # 15s old
+    assert tol[("d2", "2024-01-01 00:01:00")] == 50.0  # 10s old, inclusive
+
+
+@pytest.mark.spark
+def test_sessionize_boundaries(spark):
+    from tsclust_spark.operators.asof import session_stats, sessionize
+
+    pts = spark.createDataFrame(
+        [
+            ("d1", _ts("00:00")),
+            ("d1", _ts("00:30")),   # 30s gap, same session
+            ("d1", _ts("02:00")),   # 90s gap > 60 -> new session
+            ("d1", _ts("02:30")),
+            ("d2", _ts("00:00")),   # other key: its own numbering
+        ],
+        "doc_id string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    s = {
+        (r.doc_id, str(r.ts)): r.session_id
+        for r in sessionize(pts, gap_seconds=60).collect()
+    }
+    assert s[("d1", "2024-01-01 00:00:00")] == 0
+    assert s[("d1", "2024-01-01 00:00:30")] == 0
+    assert s[("d1", "2024-01-01 00:02:00")] == 1
+    assert s[("d1", "2024-01-01 00:02:30")] == 1
+    assert s[("d2", "2024-01-01 00:00:00")] == 0
+
+    stats = {
+        (r.doc_id, r.session_id): (r.n_events, r.duration_sec)
+        for r in session_stats(pts, gap_seconds=60).collect()
+    }
+    assert stats[("d1", 0)] == (2, 30)
+    assert stats[("d1", 1)] == (2, 30)
+    assert stats[("d2", 0)] == (1, 0)
+
+
+@pytest.mark.spark
+def test_asof_join_single_shuffle_plan(spark):
+    """The union-tag as-of join must plan exactly one Exchange (the key
+    shuffle) — no range/nested-loop join."""
+    from tsclust_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("d1", "2024-01-01 00:00:05", 1.0)],
+        "doc_id string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("d1", "2024-01-01 00:00:01", 2.0)],
+        "doc_id string, ts string, rv double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plan = (
+        asof_join(left, right, right_value_col="rv")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
