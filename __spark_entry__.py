@@ -514,6 +514,31 @@ SELECT true AS lower_ok, true AS upper_ok
 """
 
 
+def _q_quantile_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch gate: percentile_approx (Greenwald-Khanna-style,
+    accuracy=10000 => rank error <= 0.01%) must land between the exact
+    0.945 and 0.955 quantiles of the same data — a generous deterministic
+    envelope. Boolean gate with a constant-true oracle (the sketch has
+    no cross-engine value twin)."""
+    ev = _load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile_approx(value, 0.95, 10000)").alias("approx_p95"),
+        F.expr("percentile(value, 0.945)").alias("lo"),
+        F.expr("percentile(value, 0.955)").alias("hi"),
+    )
+    return agg.select(
+        "event_type",
+        (F.col("approx_p95") >= F.col("lo")).alias("lower_ok"),
+        (F.col("approx_p95") <= F.col("hi")).alias("upper_ok"),
+    )
+
+
+_SQL_QUANTILE_SKETCH = """
+SELECT event_type, true AS lower_ok, true AS upper_ok
+FROM (SELECT DISTINCT event_type FROM events)
+"""
+
+
 def _q_semi_anti_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12: left-semi + left-anti joins (the resume-skip shape): orders
     from customers that exist (semi) minus orders shipped in lineitem
@@ -1411,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_per_nation": _q_revenue_per_nation,
         "distinct_event_types": _q_distinct_event_types,
         "approx_distinct_bounds": _q_approx_distinct_bounds,
+        "quantile_sketch_bounds": _q_quantile_sketch_bounds,
         "semi_anti_resume": _q_semi_anti_resume,
     }
 
@@ -1456,5 +1482,6 @@ def oracle_sql() -> dict[str, str]:
         "revenue_per_nation": _SQL_REVENUE_PER_NATION,
         "distinct_event_types": _SQL_DISTINCT_EVENT_TYPES,
         "approx_distinct_bounds": _SQL_APPROX_DISTINCT,
+        "quantile_sketch_bounds": _SQL_QUANTILE_SKETCH,
         "semi_anti_resume": _SQL_SEMI_ANTI,
     }
