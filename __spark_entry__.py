@@ -1379,6 +1379,48 @@ GROUP BY doc_id, bidx
 """
 
 
+def _q_lttb_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsample hash-gate: per doc, the selection must have
+    exactly min(n_out, n_tok) DISTINCT positions, preserve both
+    endpoints, and every selected (pos, value) must be an actual input
+    point. Selection VALUES are pytest-oracled against a naive
+    reference implementation (tests/test_lttb.py)."""
+    from tsclust_spark.kernels.lttb import downsample_lttb
+
+    seq = _emb_as_sequences(spark, sf_dir)
+    ds = downsample_lttb(seq, n_out=16)
+    ref = seq.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "tok"), "n_tok"
+    )
+    j = ds.join(ref, ["doc_id", "pos"], "left")
+    per_doc = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sel"),
+        F.countDistinct("pos").alias("n_distinct"),
+        F.min("pos").alias("min_pos"),
+        F.max("pos").alias("max_pos"),
+        F.max("n_tok").alias("n_tok"),
+        F.sum(
+            F.when(F.col("value") == F.col("tok"), 1).otherwise(0)
+        ).alias("n_match"),
+    )
+    return per_doc.select(
+        "doc_id",
+        (F.col("n_sel") == F.least(F.lit(16), F.col("n_tok"))).alias("n_ok"),
+        (F.col("n_distinct") == F.col("n_sel")).alias("distinct_ok"),
+        (F.col("min_pos") == 0).alias("first_ok"),
+        (F.col("max_pos") == F.col("n_tok") - 1).alias("last_ok"),
+        (F.col("n_match") == F.col("n_sel")).alias("member_ok"),
+    )
+
+
+_SQL_LTTB_INVARIANTS = """
+SELECT CAST(vec_id AS VARCHAR) AS doc_id,
+       true AS n_ok, true AS distinct_ok, true AS first_ok,
+       true AS last_ok, true AS member_ok
+FROM embeddings
+"""
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with nprobe = n_lists: exhaustive probing makes the
     result provably equal to exact cosine top-k, so the full IVF
@@ -1417,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_identical": _q_lsh_topk_identical,
         "embedding_near_dups": _q_embedding_near_dups,
         "dba_identical_recovery": _q_dba_identical_recovery,
+        "lttb_invariants": _q_lttb_invariants,
         "frame_sample": _q_frame_sample,
         "multimodal_invariants": _q_multimodal_invariants,
         "token_count": _q_token_count,
@@ -1463,6 +1506,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_full_probe": _SQL_COSINE_TOPK,
         "lsh_topk_identical": _SQL_LSH_TOPK_IDENTICAL,
         "dba_identical_recovery": _SQL_DBA_IDENTICAL,
+        "lttb_invariants": _SQL_LTTB_INVARIANTS,
         "frame_sample": _SQL_FRAME_SAMPLE,
         "multimodal_invariants": _SQL_MULTIMODAL_INVARIANTS,
         "token_count": _SQL_TOKEN_COUNT,
