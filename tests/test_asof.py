@@ -110,3 +110,21 @@ def test_asof_join_single_shuffle_plan(spark):
     )
     assert plan.count("Exchange") == 1
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+@pytest.mark.spark
+def test_asof_join_null_right_value_stays_paired(spark):
+    """A right row with a NULL value must NOT desync (value, ts): the
+    as-of match is the latest right ROW; its value may be null."""
+    from tsclust_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("d1", _ts("00:20"), 1.0)], "doc_id string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("d1", _ts("00:05"), 7.0), ("d1", _ts("00:10"), None)],
+        "doc_id string, ts string, rv double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = asof_join(left, right, right_value_col="rv").collect()[0]
+    assert str(r.asof_ts) == "2024-01-01 00:00:10"
+    assert r.asof_value is None  # NOT the stale 7.0 from 00:05

@@ -44,6 +44,8 @@ def test_lttb_degenerate_budgets():
     assert lttb_indices(v, 20).tolist() == list(range(10))
     assert lttb_indices(v, 10).tolist() == list(range(10))
     assert lttb_indices(v, 2).tolist() == [0, 9]
+    assert lttb_indices(v, 1).tolist() == [0]
+    assert lttb_indices(v, 0).tolist() == []
     assert lttb_indices(np.array([5.0]), 3).tolist() == [0]
 
 
@@ -82,7 +84,11 @@ def test_downsample_lttb_spark(spark):
     )
     assert "Exchange" not in plan  # map-only downsampling
 
-    seq = full.filter(F.col("n_tok") > 0).limit(50)
+    # cache pins the non-deterministic limit sample: out and ref below
+    # each trigger a job, and an uncached limit(50) could pick different
+    # rows per job
+    seq = full.filter(F.col("n_tok") > 0).limit(50).cache()
+    seq.count()
     out = downsample_lttb(seq, n_out=16)
 
     rows = out.collect()
@@ -100,3 +106,18 @@ def test_downsample_lttb_spark(spark):
         # exact agreement with the numpy kernel
         want = lttb_indices(np.array(toks), 16).tolist()
         assert poss == want
+
+
+@pytest.mark.spark
+def test_downsample_lttb_preserves_float_values(spark):
+    """The output value column keeps the input element type — float
+    series must not be truncated to ints."""
+    from tsclust_spark.kernels.lttb import downsample_lttb
+
+    df = spark.createDataFrame(
+        [("d1", [0.9, 0.1, 0.8, 0.2, 0.7])],
+        "doc_id string, tokens array<double>",
+    )
+    rows = downsample_lttb(df, n_out=3).collect()
+    assert {r.value for r in rows} <= {0.9, 0.1, 0.8, 0.2, 0.7}
+    assert rows[0].value == 0.9

@@ -29,15 +29,20 @@ from pyspark.sql import DataFrame
 def lttb_indices(values: np.ndarray, n_out: int) -> np.ndarray:
     """Indices of the LTTB selection over an implicit 0..n-1 time grid.
 
-    Returns all indices when ``n <= n_out`` and endpoints-only when
-    ``n_out <= 2`` (degenerate budgets).
+    Degenerate budgets: all indices when ``n <= n_out``; endpoints for
+    ``n_out == 2``; the first point for ``n_out == 1``; empty for
+    ``n_out <= 0``.
     """
     v = np.asarray(values, dtype=np.float64)
     n = v.size
+    if n_out <= 0:
+        return np.empty(0, dtype=np.int64)
     if n <= n_out:
         return np.arange(n, dtype=np.int64)
-    if n_out <= 2:
-        return np.array([0, n - 1][: max(n_out, 1)], dtype=np.int64)
+    if n_out == 1:
+        return np.array([0], dtype=np.int64)
+    if n_out == 2:
+        return np.array([0, n - 1], dtype=np.int64)
 
     # bucket boundaries over the middle n-2 points, n_out-2 buckets
     edges = (
@@ -68,17 +73,18 @@ def lttb_indices(values: np.ndarray, n_out: int) -> np.ndarray:
     return out
 
 
-LTTB_SCHEMA = "doc_id string, pos int, value int"
-
-
 def downsample_lttb(
     seq_df: DataFrame, n_out: int, tokens_col: str = "tokens"
 ) -> DataFrame:
     """Nested sequence rows -> LTTB-selected points (doc_id, pos, value).
 
     Map-only (no Exchange): each doc's selection happens inside its own
-    row. Output size per doc = min(n_out, n_tok).
+    row. Output size per doc = min(n_out, n_tok). The ``value`` column
+    keeps the input array's ELEMENT TYPE (int or floating) — selected
+    points are actual input points, never casts of them.
     """
+    elem_type = seq_df.schema[tokens_col].dataType.elementType.simpleString()
+    schema = f"doc_id string, pos int, value {elem_type}"
 
     def compute(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -95,7 +101,7 @@ def downsample_lttb(
                     np.repeat(pdf["doc_id"].iloc[r], idx.size)
                 )
                 poss.append(idx.astype(np.int32))
-                vals.append(arr[idx].astype(np.int32))
+                vals.append(arr[idx])
             if not ids:
                 continue
             yield pd.DataFrame(
@@ -107,5 +113,5 @@ def downsample_lttb(
             )
 
     return seq_df.select("doc_id", tokens_col).mapInPandas(
-        compute, schema=LTTB_SCHEMA
+        compute, schema=schema
     )

@@ -68,11 +68,21 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # carry (value, ts) as ONE struct so they always come from the SAME
+    # right row: tracking them with two independent last(ignorenulls)
+    # calls would pair a stale value with a newer row's timestamp
+    # whenever a right row's value is NULL
+    right_row = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col("_rv").alias("rv"), F.col("_rts").alias("rts")),
+    )
     out = (
-        merged.withColumn("asof_value", F.last("_rv", ignorenulls=True).over(w))
-        .withColumn("asof_ts", F.last("_rts", ignorenulls=True).over(w))
+        merged.withColumn("_r", right_row)
+        .withColumn("_asof", F.last("_r", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
-        .drop("_side", "_rv", "_rts")
+        .withColumn("asof_value", F.col("_asof.rv"))
+        .withColumn("asof_ts", F.col("_asof.rts"))
+        .drop("_side", "_rv", "_rts", "_r", "_asof")
     )
     if tolerance_seconds is not None:
         stale = (
