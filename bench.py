@@ -543,6 +543,11 @@ def scaling_main() -> int:
             f"DTW block: {results[hi]['dtw']['pairs_per_sec']:.1f} pairs/s "
             "(64 docs, 256-token walks, band 8)\n"
         )
+        # durable extra sections (job throughput, launch-mode evidence)
+        # survive report regeneration
+        addendum = os.path.join("BENCH", "ADDENDUM.md")
+        if os.path.exists(addendum):
+            f.write("\n" + open(addendum).read())
     print(json.dumps({
         f"rollup_pps_{lo}": round(r8["points_per_sec"], 1),
         f"rollup_pps_{hi}": round(r32["points_per_sec"], 1),
