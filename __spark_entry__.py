@@ -307,16 +307,20 @@ def _q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = asof_join(left, right, key_col="doc_id", ts_col="ts",
                     right_value_col="rv")
-    # driver-facing variant is the INNER as-of (matched rows only): a
-    # NULL asof_ts/asof_value column sorts differently enough across
-    # pandas versions to break value-hash row alignment; the left-join
-    # null semantics are pytest-covered via the operator tests
-    return out.filter(F.col("asof_ts").isNotNull()).select(
+    # LEFT-join semantics are part of the gate: unmatched rows keep their
+    # nulls coalesced to fixed sentinels (epoch ts / -999999) on BOTH
+    # engines so the driver's value-hash row alignment stays stable
+    # across pandas null-sort behaviors
+    return out.select(
         "doc_id",
         "ts",
         _sround("value", 6).alias("value"),
-        _sround("asof_value", 6).alias("asof_value"),
-        "asof_ts",
+        F.coalesce(_sround("asof_value", 6), F.lit(-999999.0)).alias(
+            "asof_value"
+        ),
+        F.coalesce(
+            F.col("asof_ts"), F.lit("1970-01-01 00:00:00").cast("timestamp")
+        ).alias("asof_ts"),
     )
 
 
@@ -334,9 +338,9 @@ r AS (
 )
 SELECT l.doc_id, l.ts,
        {_sql_round('l.value', 6)} AS value,
-       {_sql_round('r.rv', 6)} AS asof_value,
-       r.ts AS asof_ts
-FROM l ASOF JOIN r ON l.doc_id = r.doc_id AND l.ts >= r.ts
+       COALESCE({_sql_round('r.rv', 6)}, -999999.0) AS asof_value,
+       COALESCE(r.ts, TIMESTAMP '1970-01-01 00:00:00') AS asof_ts
+FROM l ASOF LEFT JOIN r ON l.doc_id = r.doc_id AND l.ts >= r.ts
 """
 
 
@@ -411,7 +415,7 @@ def _q_salted_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SALTED_SOURCE_STATS = f"""
 SELECT source,
        count(*) AS count_value,
-       sum(n_chars) AS sum_value,
+       CAST(sum(n_chars) AS BIGINT) AS sum_value,
        min(n_chars) AS min_value,
        max(n_chars) AS max_value,
        {_sql_round('sum(n_chars) * 1.0 / count(*)', 6)} AS mean_value

@@ -112,8 +112,19 @@ def test_cluster_sequences_no_silent_drop(spark):
     rows = out.collect()
     assert len(rows) == n_in
     assert len({r.doc_id for r in rows}) == n_in
+    # cluster_id is globally unique per block: shard * k + local label,
+    # so 4 shards x k=2 -> ids in [0, 8) spanning >1 shard's range
     for r in rows:
-        assert 0 <= r.cluster_id < 2
+        assert 0 <= r.cluster_id < 8
+    assert max(r.cluster_id for r in rows) >= 2
+    # (block, cluster_id) keys a single medoid — the uniqueness that was
+    # silently violated when every shard emitted labels 0..k-1
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault((r.block, r.cluster_id), set()).add(
+            r.medoid_doc_id
+        )
+    assert all(len(m) == 1 for m in by_cluster.values())
 
 
 @pytest.mark.spark

@@ -148,3 +148,26 @@ def test_ivf_build_seed_plan_no_global_window(spark, emb):
     # limit — i.e. downstream of TakeOrderedAndProject in the plan text
     phys = plan[plan.index("== Physical Plan =="):]
     assert phys.index("Window") < phys.index("TakeOrderedAndProject")
+
+
+@pytest.mark.spark
+def test_ivf_assignment_map_only_no_exchange(spark, emb):
+    """Lloyd/probe assignment must be row-local: fold over ONE broadcast
+    centroid row, no Exchange of |vectors| x n_lists scored rows (the
+    round-2 scale nit)."""
+    from tsclust_spark.operators.similarity import _nearest_centroid, ivf_build
+
+    centroids, _ = ivf_build(emb, n_lists=4, lloyd_iters=0)
+    base = emb.select("vec_id", "embedding")
+    assigned = _nearest_centroid(base, centroids, "embedding", "vec_id")
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    # the vector side reaches the join with zero shuffles; the only
+    # Exchanges allowed are on the tiny centroid/seed side (upstream of
+    # the 1-row broadcast aggregate). Plan print order: nodes above the
+    # join, then the streamed (vector) child, then BroadcastExchange +
+    # the centroid side — so everything before BroadcastExchange must be
+    # Exchange- and Window-free.
+    streamed = plan.split("BroadcastExchange")[0]
+    assert "BroadcastNestedLoopJoin" in streamed  # sanity: split kept the join
+    assert "Exchange" not in streamed
+    assert "Window" not in streamed

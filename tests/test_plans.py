@@ -175,3 +175,82 @@ def test_raw_upsert_replaces_blob_that_moved_date(spark, tmp_path_factory):
     rows = raw.filter(F.col("doc_id") == "d1").collect()
     assert len(rows) == 1, "stale blob left in the old bucket_date partition"
     assert rows[0].n == 3
+
+
+@pytest.mark.spark
+def test_upsert_null_and_boolean_partition_values(spark, tmp_path_factory):
+    """Null and boolean partition values: the directory names Spark
+    writes (__HIVE_DEFAULT_PARTITION__, 'true'/'false') must compare
+    equal to the update frame's values — a str() comparison made a live
+    null-partition land in the vacated set (deleted after the write,
+    data loss) and let booleans falsely skip the overlap merge."""
+    from tsclust_spark.plans.merge import upsert_partitioned
+
+    out = str(tmp_path_factory.mktemp("nulls")) + "/t"
+    schema = "k string, unit int, flag boolean, v int"
+    base = spark.createDataFrame(
+        [("a", 1, True, 10), ("b", 1, None, 20), ("c", 2, False, 30)], schema
+    )
+    upsert_partitioned(spark, out, base, ["k"], ["unit", "flag"])
+
+    # overlap via a boolean partition: update a, keep b/c intact (note:
+    # Spark's partition-type inference reads boolean dirs back as the
+    # strings 'true'/'false' — expected, orthogonal to the merge)
+    upd = spark.createDataFrame([("a", 1, True, 99)], schema)
+    upsert_partitioned(spark, out, upd, ["k"], ["unit", "flag"])
+    got = {r.k: (r.flag, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {"a": ("true", 99), "b": (None, 20), "c": ("false", 30)}
+
+    # overlap via a NULL partition value: update b in place
+    upd2 = spark.createDataFrame([("b", 1, None, 77)], schema)
+    upsert_partitioned(spark, out, upd2, ["k"], ["unit", "flag"])
+    got = {r.k: (r.flag, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {"a": ("true", 99), "b": (None, 77), "c": ("false", 30)}
+
+
+@pytest.mark.spark
+def test_upsert_vacated_partition_with_null_and_bool(spark, tmp_path_factory):
+    """prune_cols prefix + a row moving OUT of a null/boolean partition:
+    the vacated directory must be deleted, and ONLY that one — sibling
+    live partitions with null/boolean values must survive the write."""
+    from tsclust_spark.plans.merge import upsert_partitioned
+
+    out = str(tmp_path_factory.mktemp("vac")) + "/t"
+    schema = "k string, unit int, flag boolean, v int"
+    base = spark.createDataFrame(
+        [("a", 1, None, 10), ("b", 1, True, 20), ("c", 2, None, 30)], schema
+    )
+    upsert_partitioned(spark, out, base, ["k"], ["unit", "flag"],
+                       prune_cols=["unit"])
+    # 'a' moves from flag=null to flag=false within unit 1: the
+    # (1, null) directory is vacated (deleted); (2, null) and (1, true)
+    # must be untouched
+    upd = spark.createDataFrame([("a", 1, False, 99)], schema)
+    upsert_partitioned(spark, out, upd, ["k"], ["unit", "flag"],
+                       prune_cols=["unit"])
+    got = {r.k: (r.flag, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {"a": ("false", 99), "b": ("true", 20), "c": (None, 30)}
+
+
+def test_canon_partition_value():
+    import datetime
+
+    from tsclust_spark.plans.merge import _HIVE_NULL, _canon_partition_value
+
+    assert _canon_partition_value(None) == _HIVE_NULL
+    assert _canon_partition_value(True) == "true"
+    assert _canon_partition_value(False) == "false"
+    assert _canon_partition_value(7) == "7"
+    assert _canon_partition_value("x y") == "x y"
+    assert _canon_partition_value(datetime.date(2024, 1, 2)) == "2024-01-02"
+    assert (
+        _canon_partition_value(datetime.datetime(2024, 1, 2, 3, 4, 5))
+        == "2024-01-02 03:04:05"
+    )
+    # trailing fractional zeros trimmed, like Spark's timestampToString
+    assert (
+        _canon_partition_value(
+            datetime.datetime(2024, 1, 2, 3, 4, 5, 123000)
+        )
+        == "2024-01-02 03:04:05.123"
+    )

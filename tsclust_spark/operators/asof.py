@@ -15,9 +15,15 @@ survives 100 TB:
   classic ``lag`` + cumulative-sum-of-boundaries window pair, again one
   shuffle on the key.
 
-Per-key time ordering lives inside a single window partition; skewed
-keys (one device with billions of points) should be pre-split by time
-range upstream (the window itself is sequential per key by definition).
+Per-key time ordering lives inside a single window partition; for
+skewed keys (one device with billions of points) use the bucketed
+variants — :func:`asof_join_bucketed` / :func:`sessionize_bucketed`
+range-split each key's timeline into fixed time buckets, run the window
+per (key, bucket), and stitch the boundary exactly (carry the last
+right-row struct across buckets; merge sessions spanning a boundary).
+The heavy window then parallelizes across (key, bucket) instead of
+serializing per key; the stitch windows run over one row per
+(key, bucket) — metadata-scale.
 """
 
 from __future__ import annotations
@@ -40,7 +46,10 @@ def asof_join(
     right row precedes, or when it is older than ``tolerance_seconds``).
     Right rows tie-sorted before left rows at equal ``ts`` so an exact
     timestamp match IS visible (DuckDB ``ASOF JOIN`` semantics,
-    ``l.ts >= r.ts``).
+    ``l.ts >= r.ts``). When several right rows share the same
+    (key, ts), the one with the greatest value wins — deterministic via
+    the ``_rv`` tertiary sort (nondeterministic before: the window order
+    left equal-(ts, _side) rows unordered across partitionings).
     """
     left_cols = [c for c in left.columns]
     l = left.select(
@@ -65,7 +74,7 @@ def asof_join(
     merged = l.unionByName(r)
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_rv").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # carry (value, ts) as ONE struct so they always come from the SAME
@@ -119,6 +128,148 @@ def sessionize(
     )
     return points.withColumn(
         "session_id", (F.sum(is_new).over(running) - 1).cast("int")
+    )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "doc_id",
+    ts_col: str = "ts",
+    right_value_col: str = "value",
+    bucket_seconds: int = 86400,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """:func:`asof_join` for skewed keys: range-split each key's
+    timeline into fixed ``bucket_seconds`` buckets, run the as-of window
+    per (key, bucket), then stitch boundaries exactly.
+
+    Stitch: per (key, bucket) take the LAST right-row struct
+    ``max(struct(ts, value))`` (same greatest-value tiebreak as the
+    unsplit window), carry it forward across buckets with a running max
+    over one-row-per-bucket aggregates (metadata-scale window), and
+    substitute it wherever the within-bucket as-of found no preceding
+    right row. Result is row-for-row equal to :func:`asof_join`
+    (pytest-asserted), but the heavy window parallelizes across
+    (key, bucket) instead of serializing a hot key in one partition.
+    """
+    bkt = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds))
+    lb = left.withColumn("_bkt", bkt).withColumn(
+        "_kb", F.struct(F.col(key_col), F.col("_bkt"))
+    )
+    rb = right.withColumn("_bkt", bkt).withColumn(
+        "_kb", F.struct(F.col(key_col), F.col("_bkt"))
+    )
+    local = asof_join(
+        lb, rb, key_col="_kb", ts_col=ts_col, right_value_col=right_value_col
+    )
+
+    # boundary carry: last right row strictly BEFORE each bucket, over the
+    # union of bucket keys both sides touch (a left bucket with no right
+    # rows still needs a carry row)
+    buckets = (
+        lb.select(key_col, "_bkt").union(rb.select(key_col, "_bkt")).distinct()
+    )
+    last_r = rb.groupBy(key_col, "_bkt").agg(
+        F.max(
+            F.struct(
+                F.col(ts_col).alias("rts"), F.col(right_value_col).alias("rv")
+            )
+        ).alias("_last_r")
+    )
+    wprev = (
+        Window.partitionBy(key_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        buckets.join(last_r, [key_col, "_bkt"], "left")
+        .withColumn("_carry", F.max("_last_r").over(wprev))
+        .select(key_col, "_bkt", "_carry")
+    )
+
+    out = (
+        local.join(carry, [key_col, "_bkt"], "left")
+        .withColumn(
+            "asof_value",
+            F.when(F.col("asof_ts").isNull(), F.col("_carry.rv")).otherwise(
+                F.col("asof_value")
+            ),
+        )
+        .withColumn(
+            "asof_ts",
+            F.when(F.col("asof_ts").isNull(), F.col("_carry.rts")).otherwise(
+                F.col("asof_ts")
+            ),
+        )
+        .drop("_bkt", "_kb", "_carry")
+    )
+    if tolerance_seconds is not None:
+        stale = (
+            F.unix_timestamp(ts_col) - F.unix_timestamp("asof_ts")
+            > tolerance_seconds
+        )
+        out = out.withColumn(
+            "asof_value", F.when(stale, None).otherwise(F.col("asof_value"))
+        ).withColumn("asof_ts", F.when(stale, None).otherwise(F.col("asof_ts")))
+    return out
+
+
+def sessionize_bucketed(
+    points: DataFrame,
+    key_col: str = "doc_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """:func:`sessionize` for skewed keys: sessionize per (key, time
+    bucket), then renumber so sessions spanning a bucket boundary merge.
+
+    Stitch math over one row per (key, bucket) (ordered by bucket):
+    ``merge_b = 1`` iff the bucket's first event is within
+    ``gap_seconds`` of the previous bucket's last event, and
+    ``base_b = sum(n_sessions before b) - sum(merge up to b)``;
+    each local id then maps to ``base_b + local_id``. Equal to the
+    unsplit :func:`sessionize` row-for-row (pytest-asserted), including
+    sessions spanning many buckets (a fully-merging bucket contributes
+    ``n_sessions=1`` and ``merge=1`` — net zero new sessions).
+    """
+    b = points.withColumn(
+        "_bkt", F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds))
+    )
+    wl = Window.partitionBy(key_col, "_bkt").orderBy(F.col(ts_col).asc())
+    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(wl))
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    wrun = wl.rowsBetween(Window.unboundedPreceding, 0)
+    local = b.withColumn("_local_sid", F.sum(is_new).over(wrun) - 1)
+
+    agg = local.groupBy(key_col, "_bkt").agg(
+        F.min(ts_col).alias("_first_ts"),
+        F.max(ts_col).alias("_last_ts"),
+        (F.max("_local_sid") + 1).alias("_n_sessions"),
+    )
+    word = Window.partitionBy(key_col).orderBy("_bkt")
+    merge = F.when(
+        F.unix_timestamp("_first_ts")
+        - F.unix_timestamp(F.lag("_last_ts").over(word))
+        <= gap_seconds,
+        1,
+    ).otherwise(0)
+    base = F.coalesce(
+        F.sum("_n_sessions").over(word.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ) - F.sum("_merge").over(word.rowsBetween(Window.unboundedPreceding, 0))
+    bases = (
+        agg.withColumn("_merge", merge)
+        .withColumn("_base", base)
+        .select(key_col, "_bkt", "_base")
+    )
+    return (
+        local.join(bases, [key_col, "_bkt"])
+        .withColumn(
+            "session_id", (F.col("_base") + F.col("_local_sid")).cast("int")
+        )
+        .drop("_bkt", "_local_sid", "_base")
     )
 
 

@@ -108,11 +108,13 @@ def cluster_sequences(
     Blocks larger than ``max_series_per_block`` are hash-sharded into
     ``ceil(block_size / max_series_per_block)`` sub-blocks so EVERY
     doc_id receives a label (no silent truncation): each shard runs its
-    own k-medoids, so labels/medoids are per-shard — an approximation
-    of the whole-block clustering that keeps the per-group DTW matrix
-    bounded at ~max_series_per_block² regardless of block skew. The
-    shard count is derived from a broadcast per-block size table, so
-    the plan stays shuffle-once.
+    own k-medoids — an approximation of the whole-block clustering that
+    keeps the per-group DTW matrix bounded at ~max_series_per_block²
+    regardless of block skew. ``cluster_id`` is globally unique per
+    block (``shard * k + local_label``), so (block, cluster_id) remains
+    a valid cluster key even for sharded blocks — a sharded block simply
+    exposes up to ``n_shards * k`` clusters. The shard count is derived
+    from a per-block size table, so the plan stays shuffle-once.
     """
 
     def compute(pdf):
@@ -123,11 +125,12 @@ def cluster_sequences(
         dm = _dtw_dist_matrix(series, pattern_name, band)
         labels, medoids = kmedoids_assign(dm, k)
         medoid_ids = pdf["doc_id"].to_numpy()[medoids]
+        shard = int(pdf["_shard"].iloc[0])
         return pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "block": str(pdf["_block"].iloc[0]),
-                "cluster_id": labels.astype(np.int32),
+                "cluster_id": (shard * k + labels).astype(np.int32),
                 "medoid_doc_id": medoid_ids[labels],
                 "dist_to_medoid": dm[np.arange(len(series)), medoids[labels]],
             }

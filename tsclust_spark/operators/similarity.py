@@ -195,23 +195,48 @@ def lsh_cosine_topk(
 # ---------------------------------------------------------------------------
 
 def _nearest_centroid(vec_df, centroids, vec_col: str, id_name: str):
-    """Assign each vector to its max-cosine centroid (broadcast join +
-    per-id top-1)."""
-    scored = (
-        vec_df.join(F.broadcast(centroids))
-        .withColumn(
-            "cscore",
-            _dot(F.col(vec_col), F.col("cvec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("cvec"))),
-        )
+    """Assign each vector to its max-cosine centroid, row-locally.
+
+    Centroids fold into ONE broadcast row (an id-sorted array of n_lists
+    structs); the argmax runs inside ``F.aggregate`` on each vector row.
+    Zero Exchange — the previous version shuffled |vectors| x n_lists
+    scored rows through a window per Lloyd iteration, which at 100 TB is
+    the dominant cost of the build. Ties break to the lowest centroid_id
+    (strictly-greater fold over the id-ascending array == the old
+    ``cscore DESC, centroid_id ASC`` window ordering), and the fold seeds
+    from the first element so an all-NaN row (zero vector) still gets a
+    deterministic assignment.
+    """
+    cents = centroids.agg(
+        F.sort_array(F.collect_list(F.struct("centroid_id", "cvec"))).alias("_cents")
     )
-    w = Window.partitionBy(id_name).orderBy(
-        F.col("cscore").desc(), F.col("centroid_id").asc()
+    scored_arr = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (
+                _dot(F.col(vec_col), c["cvec"])
+                / (F.col("_vnorm") * _norm(c["cvec"]))
+            ).alias("cscore"),
+            c["centroid_id"].alias("centroid_id"),
+        ),
+    )
+    best = F.aggregate(
+        scored_arr,
+        F.struct(
+            F.lit(None).cast("double").alias("cscore"),
+            F.lit(-1).alias("centroid_id"),
+        ),
+        lambda acc, s: F.when(acc["centroid_id"] < 0, s)
+        .when(s["cscore"] > acc["cscore"], s)
+        .otherwise(acc),
     )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "cvec")
+        vec_df.withColumn("_vnorm", _norm(F.col(vec_col)))
+        .join(F.broadcast(cents))  # 1-row dim -> BroadcastNestedLoopJoin
+        .withColumn("_best", best)
+        .withColumn("cscore", F.col("_best")["cscore"])
+        .withColumn("centroid_id", F.col("_best")["centroid_id"])
+        .drop("_cents", "_vnorm", "_best")
     )
 
 

@@ -74,10 +74,37 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 def _unescape_partition_value(name: str) -> str:
     """Invert Hive's path escaping (%XX for special chars) so directory
-    names compare equal to ``str(value)``."""
+    names compare equal to :func:`_canon_partition_value` output."""
     from urllib.parse import unquote
 
     return unquote(name)
+
+
+def _canon_partition_value(v) -> str:
+    """Canonical string for a partition VALUE, matching how Spark/Hive
+    renders it in a directory name (after %-unescaping): null -> the
+    Hive default-partition token, booleans lowercase, timestamps with
+    trailing fractional zeros trimmed. A bare ``str()`` here caused real
+    divergence (``None`` vs ``__HIVE_DEFAULT_PARTITION__``, ``True`` vs
+    ``true``): a live directory then landed in ``affected - merged`` and
+    was deleted after the write — data loss — and the no-overlap fast
+    path could falsely skip a merge, leaving stale duplicate keys."""
+    import datetime
+
+    if v is None:
+        return _HIVE_NULL
+    if isinstance(v, bool):  # before int: bool subclasses int
+        return "true" if v else "false"
+    if isinstance(v, datetime.datetime):  # before date: datetime subclasses it
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += (".%06d" % v.microsecond).rstrip("0")
+        return s
+    return str(v)
+
+
+def _canon_row(row) -> tuple[str, ...]:
+    return tuple(_canon_partition_value(v) for v in row)
 
 
 def _partition_dirs(spark: SparkSession, path: str, n_levels: int) -> dict:
@@ -159,9 +186,9 @@ def upsert_partitioned(
             # partition overwrite below already only touches written
             # partitions. Iceberg MERGE gets this for free via file
             # skipping; this keeps the parquet fallback honest about it.
-            # Values are compared after Hive-unescaping the directory
-            # names; a null partition value never matches (conservative:
-            # falls back to the merge path).
+            # Both sides are canonicalized (_canon_partition_value vs the
+            # Hive-unescaped directory name), so nulls/booleans/
+            # timestamps compare correctly instead of falling back.
             existing = {
                 t[: len(prune_cols)]
                 for t in _existing_partitions(
@@ -169,9 +196,8 @@ def upsert_partitioned(
                 )
             }
             upd_rows = updates.select(*prune_cols).distinct().collect()
-            has_null = any(any(v is None for v in r) for r in upd_rows)
-            upd_parts = {tuple(str(v) for v in r) for r in upd_rows}
-            overlap = has_null or bool(existing & upd_parts)
+            upd_parts = {_canon_row(r) for r in upd_rows}
+            overlap = bool(existing & upd_parts)
         vacated: list = []
         if _path_exists(spark, target_path) and overlap:
             current = spark.read.parquet(target_path)
@@ -197,7 +223,7 @@ def upsert_partitioned(
                     spark, target_path, len(partition_cols)
                 )
                 upd_prefixes = {
-                    tuple(str(v) for v in r)
+                    _canon_row(r)
                     for r in updates.select(*prune_cols).distinct().collect()
                 }
                 affected_full = {
@@ -206,7 +232,7 @@ def upsert_partitioned(
                     if t[: len(prune_cols)] in upd_prefixes
                 }
                 merged_full = {
-                    tuple(str(v) for v in r)
+                    _canon_row(r)
                     for r in merged.select(*partition_cols)
                     .distinct()
                     .collect()
