@@ -1386,13 +1386,25 @@ GROUP BY doc_id, bidx
 def _q_lttb_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB downsample hash-gate: per doc, the selection must have
     exactly min(n_out, n_tok) DISTINCT positions, preserve both
-    endpoints, and every selected (pos, value) must be an actual input
-    point. Selection VALUES are pytest-oracled against a naive
-    reference implementation (tests/test_lttb.py)."""
-    from tsclust_spark.kernels.lttb import downsample_lttb
+    endpoints, every selected (pos, value) must be an actual input
+    point, and — values_ok — the selected POSITION SEQUENCE must equal
+    an independent second implementation (lttb_positions_expr: pure
+    Catalyst higher-order functions, no shared code with the numpy
+    kernel; both pytest-oracled against a transcription of the
+    published flot-downsample reference in tests/test_lttb.py)."""
+    from tsclust_spark.kernels.lttb import downsample_lttb, lttb_positions_expr
 
     seq = _emb_as_sequences(spark, sf_dir)
     ds = downsample_lttb(seq, n_out=16)
+    jvm_fp = seq.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                lttb_positions_expr("tokens", 16), lambda p: p.cast("string")
+            ),
+        ).alias("j_fp"),
+    )
     ref = seq.select(
         "doc_id", F.posexplode("tokens").alias("pos", "tok"), "n_tok"
     )
@@ -1406,21 +1418,29 @@ def _q_lttb_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("value") == F.col("tok"), 1).otherwise(0)
         ).alias("n_match"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("pos")),
+                lambda p: p.cast("string"),
+            ),
+        ).alias("k_fp"),
     )
-    return per_doc.select(
+    return per_doc.join(jvm_fp, "doc_id").select(
         "doc_id",
         (F.col("n_sel") == F.least(F.lit(16), F.col("n_tok"))).alias("n_ok"),
         (F.col("n_distinct") == F.col("n_sel")).alias("distinct_ok"),
         (F.col("min_pos") == 0).alias("first_ok"),
         (F.col("max_pos") == F.col("n_tok") - 1).alias("last_ok"),
         (F.col("n_match") == F.col("n_sel")).alias("member_ok"),
+        (F.col("k_fp") == F.col("j_fp")).alias("values_ok"),
     )
 
 
 _SQL_LTTB_INVARIANTS = """
 SELECT CAST(vec_id AS VARCHAR) AS doc_id,
        true AS n_ok, true AS distinct_ok, true AS first_ok,
-       true AS last_ok, true AS member_ok
+       true AS last_ok, true AS member_ok, true AS values_ok
 FROM embeddings
 """
 

@@ -55,3 +55,95 @@ def test_frame_sampling_indices(spark):
     )
     idx = sorted(r.frame_idx for r in sample_frames(media, every_n=3).collect())
     assert idx == [0, 3, 6, 9]
+
+
+def test_bmp_roundtrip_and_padding():
+    """encode_bmp -> decode_bmp is exact for grayscale, including widths
+    whose rows need 4-byte padding (w=3 -> 9+3 pad, w=5 -> 15+1 pad)."""
+    import numpy as np
+
+    from tsclust_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(3)
+    for h, w in [(4, 4), (3, 3), (7, 5), (1, 1), (2, 13)]:
+        px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        got = decode_bmp(encode_bmp(px))
+        assert got.shape == (h, w)
+        assert np.array_equal(got, px)
+
+
+def test_bmp_rgb_luma_and_topdown():
+    import struct
+
+    import numpy as np
+
+    from tsclust_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    # pure-channel pixels -> integer ITU-R 601 luma
+    rgb = np.zeros((1, 3, 3), dtype=np.uint8)
+    rgb[0, 0] = [255, 0, 0]
+    rgb[0, 1] = [0, 255, 0]
+    rgb[0, 2] = [0, 0, 255]
+    got = decode_bmp(encode_bmp(rgb))
+    assert got.tolist() == [[255 * 299 // 1000, 255 * 587 // 1000,
+                             255 * 114 // 1000]]
+
+    # top-down variant: flip the height sign, drop the bottom-up row flip
+    px = np.arange(12, dtype=np.uint8).reshape(2, 6)
+    bottom_up = bytearray(encode_bmp(px))
+    h = struct.unpack_from("<i", bottom_up, 22)[0]
+    struct.pack_into("<i", bottom_up, 22, -h)
+    data = bottom_up[54:]
+    rows = [bytes(data[i : i + 20]) for i in range(0, len(data), 20)]
+    flipped = bytes(bottom_up[:54]) + b"".join(reversed(rows))
+    assert np.array_equal(decode_bmp(flipped), px)
+
+
+def test_decode_image_sniffs_bmp_magic():
+    import numpy as np
+    import pytest as _pytest
+
+    from tsclust_spark.operators.multimodal import decode_image, encode_bmp
+
+    px = np.full((4, 4), 7, dtype=np.uint8)
+    # BMP decodes for real even with fake_decode left off
+    assert np.array_equal(decode_image(encode_bmp(px), 4, 4), px)
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG1234", 4, 4)
+
+
+@pytest.mark.spark
+def test_extract_features_real_bmp_end_to_end(spark):
+    """Real BMP bytes through the full Spark mapInPandas feature stage:
+    a constant-gray image must produce a constant feature vector equal
+    to gray/255."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tsclust_spark.operators.multimodal import (
+        FEATURE_DIM,
+        encode_bmp,
+        extract_features,
+    )
+
+    rows = []
+    for doc, gray in [("b1", 0), ("b2", 128), ("b3", 255)]:
+        px = np.full((16, 16), gray, dtype=np.uint8)
+        rows.append((doc, bytearray(encode_bmp(px))))
+    df = spark.createDataFrame(rows, "doc_id string, payload binary").select(
+        "doc_id",
+        F.struct(
+            F.col("payload").alias("payload"),
+            F.lit("image/bmp").alias("mime"),
+            F.lit(16).alias("width"),
+            F.lit(16).alias("height"),
+            F.lit(1).alias("n_frames"),
+            F.lit(0).alias("sample_rate"),
+        ).alias("media"),
+    )
+    out = {r.doc_id: r.feature
+           for r in extract_features(df, fake_decode=False).collect()}
+    for doc, gray in [("b1", 0), ("b2", 128), ("b3", 255)]:
+        feat = out[doc]
+        assert len(feat) == FEATURE_DIM
+        assert all(abs(f - gray / 255.0) < 1e-6 for f in feat)

@@ -168,3 +168,42 @@ def test_stage_false_keeps_predicate_path(spark, seq, tmp_path_factory):
     run_rollup(spark, seq, out, n_units=2, write_raw=False, stage=False)
     assert not os.path.exists(f"{out}/_staged_n2")
     assert spark.read.parquet(f"{out}/agg_1d").count() > 0
+
+
+@pytest.mark.spark
+def test_resume_restages_when_input_changes(spark, seq, tmp_path_factory):
+    """A resume pointed at a DIFFERENT input than the one staged must
+    restage (input fingerprint mismatch), not silently process the
+    stale snapshot."""
+    base = str(tmp_path_factory.mktemp("fpr"))
+    in_a, in_b, out = f"{base}/in_a", f"{base}/in_b", f"{base}/out"
+
+    seq.limit(40).write.parquet(in_a)
+    # in_b: same docs plus one distinctive extra
+    extra = spark.createDataFrame(
+        [("zz-new-doc", [1, 2, 3], 3, "web")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    spark.read.parquet(in_a).unionByName(extra).write.parquet(in_b)
+
+    run_rollup(spark, spark.read.parquet(in_a), out, n_units=N_UNITS,
+               max_units=3, write_raw=False)
+    staged = f"{out}/_staged_n{N_UNITS}"
+    assert spark.read.parquet(staged).filter(
+        F.col("doc_id") == "zz-new-doc"
+    ).count() == 0
+
+    # resume against in_b: fingerprint mismatch -> restaged from in_b
+    run_rollup(spark, spark.read.parquet(in_b), out, n_units=N_UNITS,
+               write_raw=False)
+    assert spark.read.parquet(staged).filter(
+        F.col("doc_id") == "zz-new-doc"
+    ).count() == 1
+
+    # and an unchanged-input resume reuses the snapshot (fingerprint file
+    # still present and matching)
+    from tsclust_spark.plans.rollup_job import _hadoop_read_text, _input_fingerprint
+
+    rec = _hadoop_read_text(spark, f"{staged}/_INPUT_FPR")
+    assert rec == _input_fingerprint(spark.read.parquet(in_b))
+    assert rec is not None and rec.startswith("files:")

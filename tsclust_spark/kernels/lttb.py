@@ -44,24 +44,25 @@ def lttb_indices(values: np.ndarray, n_out: int) -> np.ndarray:
     if n_out == 2:
         return np.array([0, n - 1], dtype=np.int64)
 
-    # bucket boundaries over the middle n-2 points, n_out-2 buckets
-    edges = (
-        np.round(
-            np.linspace(1, n - 1, num=n_out - 1)
-        ).astype(np.int64)
-    )
+    # canonical bucketing from the thesis author's reference
+    # implementation (sveinn-steinarsson/flot-downsample, MIT):
+    # every = (n-2)/(n_out-2); bucket b = [floor(b*every)+1,
+    # floor((b+1)*every)+1); the NEXT bucket's centroid is averaged over
+    # [floor((b+1)*every)+1, min(floor((b+2)*every)+1, n)) — for the
+    # last bucket that collapses to the final point. Ties pick the
+    # first (lowest-index) max, like the JS `>` comparison.
+    every = (n - 2) / (n_out - 2)
     out = np.empty(n_out, dtype=np.int64)
     out[0] = 0
     prev = 0
     t = np.arange(n, dtype=np.float64)
     for b in range(n_out - 2):
-        lo, hi = edges[b], edges[b + 1]
-        # next bucket's centroid (the last "bucket" is the final point)
-        nlo, nhi = edges[b + 1], edges[b + 2] if b + 2 < edges.size else n
-        if nhi <= nlo:
-            nlo, nhi = n - 1, n
-        ct = t[nlo:nhi].mean()
-        cv = v[nlo:nhi].mean()
+        lo = int(b * every) + 1
+        hi = int((b + 1) * every) + 1
+        alo = hi
+        ahi = min(int((b + 2) * every) + 1, n)
+        ct = t[alo:ahi].mean()
+        cv = v[alo:ahi].mean()
         # triangle area vs (prev, candidate, centroid), vectorized
         area = np.abs(
             (t[prev] - ct) * (v[lo:hi] - v[prev])
@@ -71,6 +72,99 @@ def lttb_indices(values: np.ndarray, n_out: int) -> np.ndarray:
         out[b + 1] = prev
     out[-1] = n - 1
     return out
+
+
+def lttb_positions_expr(vec_col, n_out: int):
+    """LTTB selection as a pure Catalyst expression: array<int> of
+    selected positions, same canonical flot-downsample convention as
+    :func:`lttb_indices` but implemented INDEPENDENTLY from it with
+    higher-order functions (``sequence``/``aggregate``/``transform``) —
+    the driver gate cross-checks the two per doc, so selection VALUES
+    are hash-gated without either implementation oracle-ing itself.
+
+    JVM-side, zero Python; O(n) work per row inside codegen (each
+    bucket's centroid sum + candidate sweep touch each point once).
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    base = vec_col if isinstance(vec_col, Column) else F.col(vec_col)
+    v = F.transform(base, lambda x: x.cast("double"))
+    n = F.size(v)
+    if n_out <= 0:
+        return F.array().cast("array<int>")
+    if n_out == 1:
+        return F.when(n >= 1, F.array(F.lit(0))).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    def val(i):  # 0-based element access
+        return F.element_at(v, (i + 1).cast("int"))
+
+    def all_positions():
+        return F.sequence(F.lit(0), n - 1)
+
+    if n_out == 2:
+        two = F.array(F.lit(0), (n - 1).cast("int"))
+        return (
+            F.when(n == 0, F.array().cast("array<int>"))
+            .when(n <= 2, all_positions())
+            .otherwise(two)
+        )
+
+    every = (n - 2).cast("double") / F.lit(float(n_out - 2))
+
+    def step(acc, b):
+        lo = (F.floor(b.cast("double") * every) + 1).cast("int")
+        hi = (F.floor((b + 1).cast("double") * every) + 1).cast("int")
+        alo = hi
+        ahi = F.least((F.floor((b + 2).cast("double") * every) + 1).cast("int"), n)
+        ct = (alo + ahi - 1).cast("double") / F.lit(2.0)
+        cv = F.aggregate(
+            F.sequence(alo, ahi - 1), F.lit(0.0), lambda s, i: s + val(i)
+        ) / (ahi - alo).cast("double")
+        pt = acc["prev"].cast("double")
+        pv = val(acc["prev"])
+
+        def area(i):
+            return F.abs(
+                (pt - ct) * (val(i) - pv) - (pt - i.cast("double")) * (cv - pv)
+            )
+
+        best = F.aggregate(
+            F.sequence(lo, hi - 1),
+            F.struct(
+                F.lit(-1.0).alias("area"), F.lit(-1).cast("int").alias("idx")
+            ),
+            lambda bacc, i: F.when(
+                area(i) > bacc["area"],
+                F.struct(
+                    area(i).alias("area"), i.cast("int").alias("idx")
+                ),
+            ).otherwise(bacc),
+        )
+        return F.struct(
+            best["idx"].alias("prev"),
+            F.concat(acc["path"], F.array(best["idx"])).alias("path"),
+        )
+
+    middle = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_out - 3)),
+        F.struct(
+            F.lit(0).cast("int").alias("prev"),
+            F.array().cast("array<int>").alias("path"),
+        ),
+        step,
+        lambda acc: acc["path"],
+    )
+    full = F.concat(
+        F.array(F.lit(0).cast("int")), middle, F.array((n - 1).cast("int"))
+    )
+    return (
+        F.when(n == 0, F.array().cast("array<int>"))
+        .when(n <= n_out, all_positions().cast("array<int>"))
+        .otherwise(full)
+    )
 
 
 def downsample_lttb(

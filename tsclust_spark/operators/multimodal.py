@@ -7,13 +7,20 @@ Media are opaque ``binary`` columns with a typed metadata struct:
                  n_frames: INT, sample_rate: INT>
 
 The Spark-side machinery — schema, Arrow batch shape, ``mapInPandas``
-signatures, partition sizing — is real and tested. The actual media
-decoding is STUBBED (this container has no image/audio libraries):
-:func:`decode_image` raises ``NotImplementedError`` unless
-``fake_decode=True``, in which case a deterministic fake decoder (seeded
-by the payload's md5) produces stable pseudo-pixels so downstream
-plumbing (resize, feature extraction, frame sampling) is exercised
-end-to-end with verifiable outputs.
+signatures, partition sizing — is real and tested. Decoding:
+
+- **BMP is decoded for real** (:func:`decode_bmp`: dependency-free
+  parser for uncompressed BI_RGB 24-bit and 8-bit-palette bitmaps,
+  bottom-up or top-down, 4-byte row padding) — ``decode_image`` sniffs
+  the ``BM`` magic and routes there automatically, so real bytes flow
+  end-to-end through ``extract_features``/``resize_media``.
+  :func:`encode_bmp` is the matching writer (test fixtures round-trip).
+- Other formats (JPEG/PNG/audio/video) are STUBBED — this container has
+  no media libraries: :func:`decode_image` raises
+  ``NotImplementedError`` unless ``fake_decode=True``, in which case a
+  deterministic fake decoder (seeded by the payload's md5) produces
+  stable pseudo-pixels so downstream plumbing is exercised end-to-end
+  with verifiable outputs.
 
 Scale notes: media rows are large (MBs) — the Arrow batch cap
 (session.py ARROW_MAX_RECORDS_PER_BATCH) matters more here than
@@ -67,12 +74,97 @@ def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Write a 24-bit uncompressed (BI_RGB) bottom-up BMP.
+
+    ``pixels``: (H, W) grayscale or (H, W, 3) RGB uint8. Rows are padded
+    to 4 bytes per the format. Round-trips through :func:`decode_bmp`.
+    """
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.stack([px, px, px], axis=-1)
+    h, w, _ = px.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    data_size = (row_bytes + pad) * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    out = bytearray(header)
+    bgr = px[:, :, ::-1]  # BMP stores BGR
+    for y in range(h - 1, -1, -1):  # bottom-up
+        out += bgr[y].tobytes() + b"\x00" * pad
+    return bytes(out)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Dependency-free BMP decoder -> grayscale uint8 (H, W).
+
+    Supports uncompressed (BI_RGB) 24-bit and 8-bit-palette bitmaps,
+    bottom-up (positive height) and top-down (negative height), with the
+    format's 4-byte row padding. Grayscale via integer ITU-R 601 luma
+    ((299 r + 587 g + 114 b) // 1000) — deterministic, no float."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} unsupported")
+    if bpp not in (8, 24):
+        raise NotImplementedError(f"BMP bpp {bpp} unsupported")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    row_bytes = (w * (bpp // 8) + 3) & ~3
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+    ).reshape(h, row_bytes)
+    if not top_down:
+        raw = raw[::-1]
+    if bpp == 24:
+        bgr = raw[:, : w * 3].reshape(h, w, 3).astype(np.uint32)
+        gray = (
+            299 * bgr[:, :, 2] + 587 * bgr[:, :, 1] + 114 * bgr[:, :, 0]
+        ) // 1000
+        return gray.astype(np.uint8)
+    # 8-bit: palette of BGRA entries right after the DIB header
+    n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+    pal = np.frombuffer(
+        payload, dtype=np.uint8, count=n_colors * 4, offset=14 + dib_size
+    ).reshape(n_colors, 4).astype(np.uint32)
+    pal_gray = (
+        (299 * pal[:, 2] + 587 * pal[:, 1] + 114 * pal[:, 0]) // 1000
+    ).astype(np.uint8)
+    return pal_gray[raw[:, :w]]
+
+
 def decode_image(payload: bytes, width: int, height: int, fake_decode: bool = False):
-    """STUB: real decoding needs PIL/opencv (not in this container)."""
+    """Decode a media payload to a grayscale pixel grid.
+
+    BMP payloads are decoded FOR REAL via :func:`decode_bmp` — sniffed
+    by the ``BM`` magic AND the header's file-size field matching
+    ``len(payload)``, so a random (fake) payload that happens to start
+    with 0x42 0x4D can't mis-route into the parser. Other formats need
+    PIL/opencv (not in this container): they raise unless
+    ``fake_decode=True``, which routes to the deterministic md5-seeded
+    fake decoder."""
+    if payload[:2] == b"BM" and len(payload) >= 14:
+        import struct
+
+        if struct.unpack_from("<I", payload, 2)[0] == len(payload):
+            return decode_bmp(payload)
     if not fake_decode:
         raise NotImplementedError(
-            "image decoding requires PIL/opencv; pass fake_decode=True for "
-            "the deterministic test decoder"
+            "only BMP decodes without PIL/opencv; pass fake_decode=True "
+            "for the deterministic test decoder"
         )
     return _fake_pixels(payload, width, height)
 

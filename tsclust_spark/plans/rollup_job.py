@@ -125,6 +125,45 @@ def build_tiers_from_sequences(
     return tiers
 
 
+def _input_fingerprint(seq: DataFrame) -> str:
+    """Cheap identity of the staged job input: md5 over the sorted
+    source file list (metadata-only) when the input is file-backed,
+    else the row count. Recorded next to the staged snapshot so a
+    resume pointed at a DIFFERENT/updated input restages instead of
+    silently processing stale data."""
+    import hashlib
+
+    files = sorted(seq.inputFiles())
+    if files:
+        return "files:" + hashlib.md5(";".join(files).encode()).hexdigest()
+    return f"rows:{seq.count()}"
+
+
+def _hadoop_write_text(spark: SparkSession, path: str, text: str) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    out.write(bytearray(text.encode()))
+    out.close()
+
+
+def _hadoop_read_text(spark: SparkSession, path: str) -> str | None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream)
+        )
+        return reader.readLine()
+    finally:
+        stream.close()
+
+
 def run_unit(
     spark: SparkSession,
     seq: DataFrame,
@@ -245,8 +284,19 @@ def run_rollup(
         # (resume REQUIRES an immutable input — otherwise completed vs
         # pending units would mix two versions anyway). A resume=False
         # run makes no such promise, so it restages from the live input
-        # rather than silently processing a stale snapshot.
-        if not resume or not _path_exists(spark, f"{staged_path}/_SUCCESS"):
+        # rather than silently processing a stale snapshot. Resume also
+        # validates a recorded input fingerprint: a resume pointed at a
+        # DIFFERENT input than the one staged restages loudly instead of
+        # processing the stale snapshot.
+        fpr_path = f"{staged_path}/_INPUT_FPR"
+        reuse = resume and _path_exists(spark, f"{staged_path}/_SUCCESS")
+        fpr = None
+        if reuse:
+            fpr = _input_fingerprint(seq)
+            recorded = _hadoop_read_text(spark, fpr_path)
+            if recorded != fpr:
+                reuse = False
+        if not reuse:
             (
                 seq.withColumn(
                     "unit", F.pmod(F.hash("doc_id"), F.lit(n_units))
@@ -254,6 +304,9 @@ def run_rollup(
                 .write.mode("overwrite")
                 .partitionBy("unit")
                 .parquet(staged_path)
+            )
+            _hadoop_write_text(
+                spark, fpr_path, fpr or _input_fingerprint(seq)
             )
         seq = spark.read.parquet(staged_path)
 
