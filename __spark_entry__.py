@@ -344,6 +344,47 @@ FROM l ASOF LEFT JOIN r ON l.doc_id = r.doc_id AND l.ts >= r.ts
 """
 
 
+def _q_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe as-of join (asof_join_bucketed): same semantics as
+    asof_join but the window runs per (key, time-bucket) with exact
+    boundary stitching — gated against the SAME DuckDB native ASOF
+    oracle as the unsplit operator, with a bucket (6h) far smaller than
+    the events span so carries across buckets are genuinely exercised."""
+    from tsclust_spark.operators.asof import asof_join_bucketed
+
+    base = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 30)
+        .select(F.col("user_id").alias("doc_id"), "ts", "value")
+    )
+    parity = F.pmod(F.unix_timestamp("ts"), F.lit(2))
+    left = (
+        base.filter(parity == 1)
+        .groupBy("doc_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    right = (
+        base.filter(parity == 0)
+        .groupBy("doc_id", "ts")
+        .agg(F.max("value").alias("rv"))
+    )
+    out = asof_join_bucketed(
+        left, right, key_col="doc_id", ts_col="ts",
+        right_value_col="rv", bucket_seconds=6 * 3600,
+    )
+    return out.select(
+        "doc_id",
+        "ts",
+        _sround("value", 6).alias("value"),
+        F.coalesce(_sround("asof_value", 6), F.lit(-999999.0)).alias(
+            "asof_value"
+        ),
+        F.coalesce(
+            F.col("asof_ts"), F.lit("1970-01-01 00:00:00").cast("timestamp")
+        ).alias("asof_ts"),
+    )
+
+
 def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (10-minute inactivity): per-session
     start/end/count/duration — the lag + cumulative-boundary-sum window
@@ -356,6 +397,29 @@ def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").alias("doc_id"), "ts")
     )
     return session_stats(pts, gap_seconds=600)
+
+
+def _q_session_stats_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe sessionization: session_stats computed over
+    sessionize_bucketed (1h buckets << the 10-minute gap's session
+    spans, so boundary merges are exercised) — gated against the same
+    plain-window SQL oracle as session_stats."""
+    from tsclust_spark.operators.asof import sessionize_bucketed
+
+    pts = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 30)
+        .select(F.col("user_id").alias("doc_id"), "ts")
+    )
+    s = sessionize_bucketed(pts, gap_seconds=600, bucket_seconds=3600)
+    return s.groupBy("doc_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_sec"),
+    )
 
 
 _SQL_SESSION_STATS = """
@@ -1497,7 +1561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": _q_gapfill_locf,
         "gapfill_linear": _q_gapfill_linear,
         "asof_join_events": _q_asof_join_events,
+        "asof_join_bucketed": _q_asof_join_bucketed,
         "session_stats": _q_session_stats,
+        "session_stats_bucketed": _q_session_stats_bucketed,
         "salted_source_stats": _q_salted_source_stats,
         "topk_orders_per_customer": _q_topk_orders_per_customer,
         "revenue_per_nation": _q_revenue_per_nation,
@@ -1544,7 +1610,9 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_locf": _SQL_GAPFILL_LOCF,
         "gapfill_linear": _SQL_GAPFILL_LINEAR,
         "asof_join_events": _SQL_ASOF_JOIN,
+        "asof_join_bucketed": _SQL_ASOF_JOIN,
         "session_stats": _SQL_SESSION_STATS,
+        "session_stats_bucketed": _SQL_SESSION_STATS,
         "salted_source_stats": _SQL_SALTED_SOURCE_STATS,
         "topk_orders_per_customer": _SQL_TOPK_ORDERS,
         "revenue_per_nation": _SQL_REVENUE_PER_NATION,

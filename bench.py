@@ -197,7 +197,10 @@ def run_suite(cores: int, sf_dir: str) -> dict:
         )
         codec = codec_benchmark(spark, seq_path)
         queries = events_queries(spark, sf_dir)
-        dtw = dtw_block_benchmark(spark, sf_dir)
+        # best-of-3 like the scaling legs: the round-2 dtw rows moved
+        # ±12% on identical code purely from VM drift — min-of-3 makes a
+        # regression in these rows signal, not noise
+        dtw = _best_of(lambda: dtw_block_benchmark(spark, sf_dir), 3)
     finally:
         spark.stop()
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -269,7 +272,7 @@ def scaling_suite_queries(cores: int) -> dict:
                       shuffle_partitions=max(cores, 8))
     try:
         queries = events_queries(spark, SF_DIR)
-        dtw = dtw_block_benchmark(spark, SF_DIR)
+        dtw = _best_of(lambda: dtw_block_benchmark(spark, SF_DIR), 3)
     finally:
         spark.stop()
     return {"queries": queries, "dtw": dtw}

@@ -147,3 +147,132 @@ def test_extract_features_real_bmp_end_to_end(spark):
         feat = out[doc]
         assert len(feat) == FEATURE_DIM
         assert all(abs(f - gray / 255.0) < 1e-6 for f in feat)
+
+
+def test_png_roundtrip_gray_and_rgb():
+    import numpy as np
+
+    from tsclust_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(5)
+    for h, w in [(1, 1), (4, 4), (7, 3), (2, 13)]:
+        px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+    rgb = rng.randint(0, 256, size=(5, 6, 3)).astype(np.uint8)
+    want = (
+        299 * rgb[:, :, 0].astype(np.uint32)
+        + 587 * rgb[:, :, 1].astype(np.uint32)
+        + 114 * rgb[:, :, 2].astype(np.uint32)
+    ) // 1000
+    assert np.array_equal(decode_png(encode_png(rgb)), want.astype(np.uint8))
+
+
+def _png_with_filters(px: np.ndarray, filters: list) -> bytes:
+    """Assemble a real PNG whose scanlines use the GIVEN filter types,
+    by forward-filtering the pixels independently of the decoder."""
+    import struct
+    import zlib
+
+    h, w = px.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = px[y].astype(np.int32)
+        line = np.empty(w, dtype=np.int32)
+        for x in range(w):
+            left = int(cur[x - 1]) if x >= 1 else 0
+            up = int(prev[x])
+            ul = int(prev[x - 1]) if x >= 1 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else up if pb <= pc else ul
+            line[x] = (int(cur[x]) - pred) & 0xFF
+        raw += bytes([f]) + line.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types_unfilter_correctly():
+    import numpy as np
+
+    from tsclust_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, size=(10, 8)).astype(np.uint8)
+    # each filter alone, then a mix cycling through all five
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        payload = _png_with_filters(px, filters)
+        assert np.array_equal(decode_png(payload), px), filters
+
+
+def test_png_palette_and_rgba():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from tsclust_spark.operators.multimodal import decode_png, encode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # palette: 2x2 of indices into a 3-color palette
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(payload)
+    lum = [255 * 299 // 1000, 255 * 587 // 1000, 255 * 114 // 1000]
+    assert got.tolist() == [[lum[0], lum[1]], [lum[2], lum[0]]]
+
+    # RGBA: alpha ignored, color collapses to luma
+    rgba = np.zeros((1, 2, 4), dtype=np.uint8)
+    rgba[0, 0] = [100, 100, 100, 7]
+    rgba[0, 1] = [255, 0, 0, 200]
+    raw = b"\x00" + rgba[0].tobytes()
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(payload).tolist() == [[100, 255 * 299 // 1000]]
+
+
+def test_decode_image_sniffs_png_magic():
+    import numpy as np
+
+    from tsclust_spark.operators.multimodal import decode_image, encode_png
+
+    px = np.full((4, 4), 42, dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(px), 4, 4), px)

@@ -132,3 +132,55 @@ def test_stateful_sequence_assembly(spark, tmp_path_factory):
     assert joined.count() == n_docs
     bad = joined.filter("g.tokens <> s.tokens OR g.n_tok <> s.n_tok")
     assert bad.count() == 0
+
+
+@pytest.mark.spark
+def test_streaming_session_window_matches_batch(spark, tmp_path_factory):
+    """Native session_window streaming sessionization == the batch
+    lag+cumsum operator on the same events (availableNow drain,
+    watermark short enough that every session closes)."""
+    from tsclust_spark.operators.asof import session_stats
+    from tsclust_spark.streaming.rollup_stream import streaming_session_stats
+
+    base = str(tmp_path_factory.mktemp("sess_stream"))
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+
+    # deterministic off-boundary gaps (gap=600s; events 420s or 1260s
+    # apart — never exactly 600) across 6 keys
+    rows = []
+    for k in range(6):
+        t = 1704067200 + k * 11
+        for i in range(40):
+            t += 1260 if (i % 7 == 3 or i % 11 == 5) else 420
+            rows.append((f"d{k}", t))
+    pts = spark.createDataFrame(rows, "doc_id string, epoch long").select(
+        "doc_id", F.timestamp_seconds("epoch").alias("ts")
+    )
+    pts.write.parquet(src)
+
+    stream_pts = spark.readStream.schema("doc_id string, ts timestamp").parquet(src)
+    q = (
+        streaming_session_stats(stream_pts, gap="10 minutes",
+                                watermark="1 second")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    cols = ["doc_id", "session_start", "session_end", "n_events",
+            "duration_sec"]
+    streamed = {tuple(map(str, r)) for r in
+                spark.read.parquet(out).select(*cols).collect()}
+    batch = {tuple(map(str, r)) for r in
+             session_stats(pts, gap_seconds=600).select(*cols).collect()}
+    # append mode may hold back each key's LAST session (watermark stops
+    # at the final event); every emitted session must match batch exactly
+    # and at least the non-final sessions must all be emitted
+    assert streamed, "nothing emitted"
+    assert streamed <= batch
+    n_keys = 6
+    assert len(streamed) >= len(batch) - n_keys

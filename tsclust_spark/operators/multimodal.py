@@ -9,12 +9,16 @@ Media are opaque ``binary`` columns with a typed metadata struct:
 The Spark-side machinery — schema, Arrow batch shape, ``mapInPandas``
 signatures, partition sizing — is real and tested. Decoding:
 
-- **BMP is decoded for real** (:func:`decode_bmp`: dependency-free
-  parser for uncompressed BI_RGB 24-bit and 8-bit-palette bitmaps,
-  bottom-up or top-down, 4-byte row padding) — ``decode_image`` sniffs
-  the ``BM`` magic and routes there automatically, so real bytes flow
-  end-to-end through ``extract_features``/``resize_media``.
-  :func:`encode_bmp` is the matching writer (test fixtures round-trip).
+- **BMP and PNG are decoded for real** (:func:`decode_bmp`:
+  dependency-free parser for uncompressed BI_RGB 24-bit and
+  8-bit-palette bitmaps, bottom-up or top-down, 4-byte row padding;
+  :func:`decode_png`: stdlib-zlib inflate + full None/Sub/Up/Average/
+  Paeth unfiltering for 8-bit non-interlaced gray/RGB/palette/alpha) —
+  ``decode_image`` sniffs the magic bytes and routes there
+  automatically, so real bytes flow end-to-end through
+  ``extract_features``/``resize_media``. :func:`encode_bmp` /
+  :func:`encode_png` are the matching writers (test fixtures
+  round-trip).
 - Other formats (JPEG/PNG/audio/video) are STUBBED — this container has
   no media libraries: :func:`decode_image` raises
   ``NotImplementedError`` unless ``fake_decode=True``, in which case a
@@ -146,6 +150,133 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return pal_gray[raw[:, :w]]
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Write an 8-bit non-interlaced PNG (grayscale or RGB) with stdlib
+    zlib only — filter type 0 on every scanline. Round-trips through
+    :func:`decode_png`."""
+    import struct
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        color_type, channels = 0, 1
+        px = px[:, :, None]
+    else:
+        color_type, channels = 2, 3
+    h, w, _ = px.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + px[y].tobytes() for y in range(h)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Dependency-free PNG decoder -> grayscale uint8 (H, W).
+
+    Stdlib ``zlib`` inflate + full scanline unfiltering (None/Sub/Up/
+    Average/Paeth). Supports 8-bit non-interlaced grayscale (0), RGB
+    (2), palette (3), gray+alpha (4) and RGBA (6); alpha is ignored and
+    color collapses through the same integer ITU-R 601 luma as
+    :func:`decode_bmp`."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, [], None
+    w = h = bit_depth = color_type = interlace = None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IEND":
+            break
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} unsupported")
+    if interlace != 0:
+        raise NotImplementedError("interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color_type} unsupported")
+
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        cur = np.empty(stride, dtype=np.int32)
+        if f == 0:  # None
+            cur = line.copy()
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the left neighbor: scan
+            for x in range(stride):
+                left = cur[x - channels] if x >= channels else 0
+                up = prev[x]
+                ul = prev[x - channels] if x >= channels else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                elif f == 4:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (
+                        left if pa <= pb and pa <= pc else up if pb <= pc else ul
+                    )
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+
+    px = out.reshape(h, w, channels).astype(np.uint32)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        rgb = plte[px[:, :, 0]].astype(np.uint32)
+        return (
+            (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2])
+            // 1000
+        ).astype(np.uint8)
+    if channels == 1 or color_type == 4:
+        return px[:, :, 0].astype(np.uint8)
+    return (
+        (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    ).astype(np.uint8)
+
+
 def decode_image(payload: bytes, width: int, height: int, fake_decode: bool = False):
     """Decode a media payload to a grayscale pixel grid.
 
@@ -161,9 +292,11 @@ def decode_image(payload: bytes, width: int, height: int, fake_decode: bool = Fa
 
         if struct.unpack_from("<I", payload, 2)[0] == len(payload):
             return decode_bmp(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
     if not fake_decode:
         raise NotImplementedError(
-            "only BMP decodes without PIL/opencv; pass fake_decode=True "
+            "only BMP/PNG decode without PIL/opencv; pass fake_decode=True "
             "for the deterministic test decoder"
         )
     return _fake_pixels(payload, width, height)

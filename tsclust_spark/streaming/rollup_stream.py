@@ -91,6 +91,46 @@ def streaming_tier_1m(
     )
 
 
+def streaming_session_stats(
+    points: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+    key_col: str = "doc_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap sessionization as an incremental streaming query via Spark's
+    native ``session_window`` — the streaming twin of
+    ``operators.asof.session_stats``.
+
+    Semantics note (pytest-asserted): ``session_window`` starts a NEW
+    session when the inter-event gap is >= the gap duration, while the
+    batch operator keeps an exactly-equal gap in the SAME session
+    (strict >). Identical whenever no gap lands exactly on the boundary;
+    the equivalence test uses off-boundary gaps. State per key is one
+    open session (merged by Spark's session-merge), emitted once the
+    watermark passes its close — the right state bound at 100 TB.
+    """
+    return (
+        points.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(ts_col, gap).alias("w"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            key_col,
+            "session_start",
+            "session_end",
+            "n_events",
+            (
+                F.unix_timestamp("session_end")
+                - F.unix_timestamp("session_start")
+            ).alias("duration_sec"),
+        )
+    )
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     input_dir: str,
