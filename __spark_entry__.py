@@ -129,6 +129,183 @@ GROUP BY 1, 2
 """
 
 
+def _q_tier_firstlast_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first()/last() tier aggregates (TimescaleDB parity), cascaded.
+
+    The 1h tier is built by cascading from 1m with first/last carried
+    through; the oracle computes first/last at 1h directly from raw via
+    the same lexicographic struct min/max, proving the cascade rule
+    (first-of-first ordered by finer bucket_ts) is exact.
+    """
+    from tsclust_spark.operators.rollup import cascade_tier, rollup_tier
+
+    points = _load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("doc_id"), "ts", "value"
+    )
+    t1m = rollup_tier(
+        points, "1m", integer_values=False, include_first_last=True
+    )
+    t1h = cascade_tier(
+        t1m, "1h", integer_values=False, include_first_last=True
+    )
+    return t1h.select(
+        "doc_id",
+        "bucket_ts",
+        _sround("first_value", 6).alias("first_value"),
+        _sround("last_value", 6).alias("last_value"),
+        "count_value",
+    )
+
+
+_SQL_TIER_FIRSTLAST_1H = f"""
+SELECT user_id AS doc_id,
+       date_trunc('hour', ts) AS bucket_ts,
+       {_sql_round('(min(struct_pack(t := ts, v := value))).v', 6)} AS first_value,
+       {_sql_round('(max(struct_pack(t := ts, v := value))).v', 6)} AS last_value,
+       count(value) AS count_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _q_realtime_cagg_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time continuous aggregate: frozen materialized tier below a
+    deliberately UN-aligned watermark, live raw tail at/after its
+    bucket-aligned floor. The oracle aggregates everything directly from
+    raw — equality proves the frozen/live stitch is seamless (the
+    partially-covered boundary bucket is recomputed, not trusted)."""
+    from tsclust_spark.operators.rollup import realtime_tier, rollup_tier
+
+    points = _load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("doc_id"), "ts", "value"
+    )
+    lo, hi = points.agg(F.min("ts"), F.max("ts")).first()
+    # mid-range, offset off any minute boundary: the materializer's
+    # high-water mark is arbitrary wall-clock, never bucket-aligned
+    wm = lo + (hi - lo) / 2
+    stale = rollup_tier(
+        points.filter(F.col("ts") < F.lit(wm)), "1m", integer_values=False
+    )
+    rt = realtime_tier(points, stale, "1m", wm, integer_values=False)
+    return rt.select(
+        "doc_id",
+        "bucket_ts",
+        _sround("min_value", 6).alias("min_value"),
+        _sround("max_value", 6).alias("max_value"),
+        "count_value",
+        _sround("mean_value", 6).alias("mean_value"),
+    )
+
+
+_SQL_REALTIME_CAGG_1M = f"""
+SELECT user_id AS doc_id,
+       date_trunc('minute', ts) AS bucket_ts,
+       {_sql_round('min(value)', 6)} AS min_value,
+       {_sql_round('max(value)', 6)} AS max_value,
+       count(value) AS count_value,
+       {_sql_round('sum(value) / count(value)', 6)} AS mean_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _q_time_weighted_avg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted hourly mean over events (TimescaleDB
+    ``time_weight`` parity): dense bursts stop dominating the mean."""
+    from tsclust_spark.operators.rollup import time_weighted_avg
+
+    points = _load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("doc_id"), "ts", "value"
+    )
+    t = time_weighted_avg(points, "1h")
+    return t.select(
+        "doc_id",
+        "bucket_ts",
+        _sround("twa_value", 6).alias("twa_value"),
+        "count_value",
+    )
+
+
+_SQL_TIME_WEIGHTED_AVG_1H = f"""
+WITH w AS (
+  SELECT user_id AS doc_id,
+         date_trunc('hour', ts) AS bucket_ts,
+         value,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                 ORDER BY ts, value)) - epoch_us(ts) AS w_us
+  FROM events
+)
+SELECT doc_id, bucket_ts,
+       {_sql_round('coalesce(sum(value * w_us) / nullif(sum(w_us), 0), avg(value))', 6)} AS twa_value,
+       count(value) AS count_value
+FROM w
+GROUP BY 1, 2
+"""
+
+
+def _q_counter_delta_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-reset-aware hourly increase (TimescaleDB counter_agg /
+    PromQL increase): negative deltas are treated as restarts-from-zero."""
+    from tsclust_spark.operators.rollup import counter_delta
+
+    points = _load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("doc_id"), "ts", "value"
+    )
+    t = counter_delta(points, "1h")
+    return t.select(
+        "doc_id",
+        "bucket_ts",
+        _sround("increase_value", 6).alias("increase_value"),
+        "n_resets",
+        "count_value",
+    )
+
+
+_SQL_COUNTER_DELTA_1H = f"""
+WITH w AS (
+  SELECT user_id AS doc_id,
+         date_trunc('hour', ts) AS bucket_ts,
+         value,
+         lag(value) OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                          ORDER BY ts, value) AS prev
+  FROM events
+)
+SELECT doc_id, bucket_ts,
+       {_sql_round("coalesce(sum(CASE WHEN prev IS NULL THEN NULL WHEN value >= prev THEN value - prev ELSE value END), 0.0)", 6)} AS increase_value,
+       CAST(coalesce(sum(CASE WHEN value < prev THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_resets,
+       count(value) AS count_value
+FROM w
+GROUP BY 1, 2
+"""
+
+
+def _q_top_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy hitters: 10 most frequent whitespace tokens per
+    source — map-side-combined count, vocabulary-sized shuffle."""
+    from tsclust_spark.operators.textstats import top_tokens_per_group
+
+    docs = _load(spark, sf_dir, "documents")
+    return top_tokens_per_group(docs, k=10, group_col="source")
+
+
+_SQL_TOP_TOKENS_PER_SOURCE = """
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT source, token, count(*) AS n
+  FROM toks WHERE token <> ''
+  GROUP BY 1, 2
+)
+SELECT source, token, n, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT source, token, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rn
+  FROM counts
+) WHERE rn <= 10
+"""
+
+
 def _q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9/C10/C16/C20 plumbing: TPC-H Q1-style pricing summary."""
     li = _load(spark, sf_dir, "lineitem")
@@ -1556,6 +1733,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "tier_1m_events": _q_tier_1m_events,
         "tier_cascade_1h_events": _q_tier_cascade_1h_events,
+        "tier_firstlast_1h": _q_tier_firstlast_1h,
+        "realtime_cagg_1m": _q_realtime_cagg_1m,
+        "time_weighted_avg_1h": _q_time_weighted_avg_1h,
+        "counter_delta_1h": _q_counter_delta_1h,
+        "top_tokens_per_source": _q_top_tokens_per_source,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "explode_positions": _q_explode_positions,
         "gapfill_locf": _q_gapfill_locf,
@@ -1605,6 +1787,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _SQL_QUALITY,
         "tier_1m_events": _SQL_TIER_1M_EVENTS,
         "tier_cascade_1h_events": _SQL_TIER_1H_DIRECT,
+        "tier_firstlast_1h": _SQL_TIER_FIRSTLAST_1H,
+        "realtime_cagg_1m": _SQL_REALTIME_CAGG_1M,
+        "time_weighted_avg_1h": _SQL_TIME_WEIGHTED_AVG_1H,
+        "counter_delta_1h": _SQL_COUNTER_DELTA_1H,
+        "top_tokens_per_source": _SQL_TOP_TOKENS_PER_SOURCE,
         "lineitem_pricing_summary": _SQL_LINEITEM_PRICING,
         "explode_positions": _SQL_EXPLODE_POSITIONS,
         "gapfill_locf": _SQL_GAPFILL_LOCF,

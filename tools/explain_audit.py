@@ -76,6 +76,31 @@ NOTES = {
         "with zero Exchange, where round 2 shuffled |vectors| x n_lists "
         "scored rows through a row_number window per Lloyd iteration."
     ),
+    "time_weighted_avg_1h": (
+        "LOCF time-weighted mean: bucket_ts is materialized before the "
+        "window, so the lead() window and the final aggregate share one "
+        "hash partitioning — exactly ONE Exchange in the plan. "
+        "Partitioning by (key, bucket) also means a hot key "
+        "parallelizes across its buckets."
+    ),
+    "counter_delta_1h": (
+        "Counter-reset-aware increase: same single-Exchange shape as "
+        "time_weighted_avg — lag() window and aggregate share the "
+        "(key, bucket) partitioning."
+    ),
+    "realtime_cagg_1m": (
+        "Real-time continuous aggregate: the live side's raw scan "
+        "carries a pushed ts >= watermark filter (PushedFilters below), "
+        "so only the last materialization interval is read and "
+        "aggregated; against a written tier table the frozen side's "
+        "bucket_ts < watermark predicate prunes bucket_date partitions."
+    ),
+    "top_tokens_per_source": (
+        "Vocabulary heavy hitters: explode feeds a partial (map-side) "
+        "HashAggregate before any shuffle — the Exchange carries "
+        "distinct (source, token) partials (vocabulary-sized), never "
+        "the exploded corpus."
+    ),
     "lttb_invariants": (
         "LTTB twin check: the numpy kernel side is ONE mapInPandas "
         "node (no Exchange before the per-doc aggregate), and the "

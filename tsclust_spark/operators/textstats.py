@@ -148,3 +148,37 @@ def fingerprint(
         rolling.alias("fp_rolling"),
         F.md5(F.col(text_col)).alias("fp_md5"),
     )
+
+
+def top_tokens_per_group(
+    df: DataFrame,
+    k: int = 10,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heavy hitters: the k most frequent whitespace tokens per group.
+
+    Output: ``(group, token, n, rank)``, rank 1..k, ties broken by token
+    (deterministic). The vocabulary-frequency pass every training-data
+    pipeline runs before building a tokenizer.
+
+    Scale notes (100 TB): the explode multiplies rows by tokens/doc, but
+    the per-(group, token) count is a hash aggregate with map-side
+    partial combine — the shuffle carries only distinct (group, token)
+    partials (vocabulary-sized, not corpus-sized). The top-k window then
+    runs over the already-aggregated counts, partitioned by group. No
+    driver-side collection; k and the vocabulary bound the output.
+    """
+    from pyspark.sql import Window
+
+    tokens = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(_words(F.col(text_col))).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = tokens.groupBy("grp", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("grp").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "token", "n", "rank")
+    )
