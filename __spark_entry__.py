@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from tsclust_spark.operators.sampling import threshold_hex as _threshold_hex  # noqa: E402
+
 
 def _sround(col, digits: int):
     """Cross-engine-stable rounding. SQL twin: floor(x*10^d + 0.5)/10^d."""
@@ -276,6 +278,69 @@ SELECT doc_id, bucket_ts,
        count(value) AS count_value
 FROM w
 GROUP BY 1, 2
+"""
+
+
+def _q_sample_docs_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-Bernoulli 10% sample: a pure function of
+    (seed, doc_id), identical on any cluster size / partitioning / engine
+    — what makes a 100-TB sample auditable. Map-only, no shuffle."""
+    from tsclust_spark.operators.sampling import sample_fraction_by_hash
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_fraction_by_hash(docs, 0.10)
+
+
+def _sql_sample_key(seed: str) -> str:
+    return f"substring(md5('{seed}|' || CAST(doc_id AS VARCHAR)), 1, 8)"
+
+
+_SQL_SAMPLE_10PCT = f"""
+SELECT doc_id, source FROM documents
+WHERE {_sql_sample_key('tsclust')} < '{_threshold_hex(0.10)}'
+"""
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint, exhaustive 80/10/10 train/valid/test split assignment,
+    deterministic per doc_id (row-level gate: every doc's bucket must
+    match the oracle's)."""
+    from tsclust_spark.operators.sampling import split_by_hash
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    return split_by_hash(
+        docs, {"train": 0.8, "valid": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+_SQL_SPLIT_ASSIGN = f"""
+SELECT doc_id,
+       CASE WHEN {_sql_sample_key('tsclust-split')} < '{_threshold_hex(0.8)}' THEN 'train'
+            WHEN {_sql_sample_key('tsclust-split')} < '{_threshold_hex(0.9)}' THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def _q_cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-balanced cap: at most 5 docs per source, the 5 smallest
+    deterministic hash draws (skewed-corpus rebalancing)."""
+    from tsclust_spark.operators.sampling import cap_per_group
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, 5).select("source", "doc_id", "sample_rank")
+
+
+_SQL_CAP_PER_SOURCE = f"""
+SELECT source, doc_id, CAST(rn AS INTEGER) AS sample_rank
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_sql_sample_key('tsclust-cap')}, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5
 """
 
 
@@ -1075,6 +1140,78 @@ WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
 """
 
 
+def _q_dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: MinHash pairs closed under connected components.
+
+    Pair detectors emit edges; dropping duplicates needs groups (A~B,
+    B~C must collapse even though (A, C) was never a pair). The Spark
+    side runs iterative min-label propagation + pointer jumping; the
+    oracle computes the same transitive closure with a recursive CTE —
+    completely different algorithms, identical fixpoint."""
+    from tsclust_spark.operators.dedup import near_dup_groups
+
+    out = near_dup_groups(
+        _docs_with_seeded_dups(spark, sf_dir),
+        k=_SHINGLE_K,
+        num_hashes=16,
+        bands=4,
+        rows_per_band=4,
+        threshold=0.5,
+    )
+    return out.select(
+        "doc_id",
+        "component_id",
+        F.col("is_canonical").cast("int").alias("is_canonical"),
+    )
+
+
+_SQL_DEDUP_GROUPS_CC = f"""
+WITH RECURSIVE seeded AS ({_SQL_DOCS_SEEDED}),
+{_SQL_SHINGLES},
+sig AS (
+  SELECT doc_id, seed, min(md5(seed || '|' || shingle)) AS minhash
+  FROM shing, unnest(range(0, 16)) AS s(seed)
+  GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS bucket
+  FROM sig GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN shing a ON a.doc_id = c.id_a
+  JOIN shing b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS comp FROM nodes
+  UNION
+  SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT node AS doc_id, min(comp) AS component_id,
+       CAST(CASE WHEN node = min(comp) THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 6 on 32-bit signatures).
 
@@ -1718,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_groups_cc": _q_dedup_groups_cc,
         "simhash_near_dups": _q_simhash_near_dups,
         "cosine_topk": _q_cosine_topk,
         "ivf_topk_full_probe": _q_ivf_topk,
@@ -1738,6 +1876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg_1h": _q_time_weighted_avg_1h,
         "counter_delta_1h": _q_counter_delta_1h,
         "top_tokens_per_source": _q_top_tokens_per_source,
+        "sample_docs_10pct": _q_sample_docs_10pct,
+        "split_assign": _q_split_assign,
+        "cap_docs_per_source": _q_cap_docs_per_source,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "explode_positions": _q_explode_positions,
         "gapfill_locf": _q_gapfill_locf,
@@ -1773,6 +1914,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
+        "dedup_groups_cc": _SQL_DEDUP_GROUPS_CC,
         "simhash_near_dups": _SQL_SIMHASH_NEAR,
         "cosine_topk": _SQL_COSINE_TOPK,
         "ivf_topk_full_probe": _SQL_COSINE_TOPK,
@@ -1792,6 +1934,9 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted_avg_1h": _SQL_TIME_WEIGHTED_AVG_1H,
         "counter_delta_1h": _SQL_COUNTER_DELTA_1H,
         "top_tokens_per_source": _SQL_TOP_TOKENS_PER_SOURCE,
+        "sample_docs_10pct": _SQL_SAMPLE_10PCT,
+        "split_assign": _SQL_SPLIT_ASSIGN,
+        "cap_docs_per_source": _SQL_CAP_PER_SOURCE,
         "lineitem_pricing_summary": _SQL_LINEITEM_PRICING,
         "explode_positions": _SQL_EXPLODE_POSITIONS,
         "gapfill_locf": _SQL_GAPFILL_LOCF,

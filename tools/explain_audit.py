@@ -101,6 +101,19 @@ NOTES = {
         "distinct (source, token) partials (vocabulary-sized), never "
         "the exploded corpus."
     ),
+    "sample_docs_10pct": (
+        "Deterministic hash sample: map-only — the md5-prefix filter is "
+        "a plain projection+filter over the scan, zero Exchange; the "
+        "sample is a pure function of (seed, doc_id), so it is identical "
+        "on any cluster size or partitioning."
+    ),
+    "dedup_groups_cc": (
+        "Near-dup groups: MinHash pair generation is bucket-join-bounded "
+        "(as in dedup_minhash_lsh); the connected-components closure then "
+        "shuffles only the dup-pair graph (orders of magnitude smaller "
+        "than the corpus), with localCheckpoint truncating per-iteration "
+        "lineage so the plan stays flat across rounds."
+    ),
     "lttb_invariants": (
         "LTTB twin check: the numpy kernel side is ONE mapInPandas "
         "node (no Exchange before the per-doc aggregate), and the "

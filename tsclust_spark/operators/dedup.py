@@ -175,6 +175,111 @@ def minhash_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# connected components over duplicate pairs -> dedup groups
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node in an undirected pair graph with its component's
+    minimum node id: ``(node, component_id)``.
+
+    The missing middle of every dedup pipeline: pair detectors (MinHash,
+    SimHash, embedding) emit *edges*, but dropping duplicates needs
+    *groups* — A~B and B~C must collapse to one survivor even though
+    (A, C) was never emitted as a pair.
+
+    Algorithm: min-label propagation fused with pointer jumping. Each
+    round a node takes ``min(own label, neighbours' labels)`` (one
+    edges-sized hash join), then labels are resolved one hop through the
+    label table itself (path halving — a labels-sized self-join). The
+    combination converges in O(log(diameter)) rounds where plain
+    propagation needs O(diameter); dup graphs are near-clique so 2-3
+    rounds is typical. Termination is exact: stop when a round changes
+    zero labels (the convergence check is an aggregate-to-one-row
+    action, not a collect of data rows).
+
+    Scale notes (100 TB): per-round cost is one shuffle of the
+    (symmetrized) edge list plus one of the label table — both linear
+    in the dup-pair graph, which is orders of magnitude smaller than
+    the corpus. ``localCheckpoint`` truncates the per-round lineage so
+    the plan does not grow with iterations (the classic iterative-
+    DataFrame trap). Equivalent to the alternating large-star/
+    small-star formulation for the graph sizes dedup produces.
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    e = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        neigh = e.join(
+            labels.select(F.col("node").alias("b"), "comp"), "b"
+        ).select(F.col("a").alias("node"), "comp")
+        new = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping: comp := label(comp). comp is always an
+        # existing node id (labels are node ids by construction), so the
+        # inner self-join is total.
+        new = new.join(
+            new.select(F.col("node").alias("comp"), F.col("comp").alias("_cc")),
+            "comp",
+        ).select("node", F.col("_cc").alias("comp"))
+        new = new.localCheckpoint(eager=True)
+        n_changed = (
+            new.join(labels.withColumnRenamed("comp", "_old"), "node")
+            .filter(F.col("comp") != F.col("_old"))
+            .count()
+        )
+        labels = new
+        if n_changed == 0:
+            break
+    return labels.select("node", F.col("comp").alias("component_id"))
+
+
+def near_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH pairs -> connected components -> dedup groups.
+
+    Output: ``(doc_id, component_id, is_canonical)`` for every doc that
+    participates in at least one near-dup pair; ``component_id`` is the
+    group's minimum doc_id and ``is_canonical`` marks the one row per
+    group a dedup pass would KEEP (the rest get dropped).
+    """
+    pairs = minhash_near_duplicates(
+        df, text_col, id_col, k, num_hashes, bands, rows_per_band, threshold
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias(id_col),
+        "component_id",
+        (F.col("node") == F.col("component_id")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (direct, for bounded inputs / verification)
 # ---------------------------------------------------------------------------
 
