@@ -281,6 +281,67 @@ GROUP BY 1, 2
 """
 
 
+def _q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization, gated per component: every code and
+    every per-vector scale must match the oracle exactly (floor-round
+    discipline makes the float math engine-identical). Map-only."""
+    from tsclust_spark.operators.similarity import quantize_int8
+
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        _sround("scale", 9).alias("q_scale"),
+        F.posexplode("qvec").alias("dim", "qval"),
+    ).select("vec_id", "dim", "qval", "q_scale")
+
+
+_SQL_QUANTIZE_INT8 = f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+)
+SELECT vec_id, CAST(i AS INT) AS dim,
+       CAST(CASE WHEN scale > 0
+                 THEN least(greatest(floor(CAST(embedding[i+1] AS DOUBLE) / scale + 0.5), -127), 127)
+                 ELSE 0 END AS INT) AS qval,
+       {_sql_round('scale', 9)} AS q_scale
+FROM s, unnest(range(0, 64)) AS t(i)
+"""
+
+
+def _q_tier_histogram_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-bucket histograms, cascaded: the 1h histogram is
+    built from 1m histograms by element-wise addition — exact, unlike
+    sketch merges. The oracle bins raw data directly at 1h; equality
+    proves the cascade. Gated row-level via posexplode (sparse bins)."""
+    from tsclust_spark.operators.histogram import cascade_histogram, histogram_tier
+
+    points = _load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("doc_id"), "ts", "value"
+    )
+    h1m = histogram_tier(points, "1m", lo=0.0, hi=500.0, n_bins=20)
+    h1h = cascade_histogram(h1m, "1h", n_bins=20)
+    return (
+        h1h.select(
+            "doc_id", "bucket_ts", F.posexplode("hist").alias("bin", "n")
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
+_SQL_TIER_HISTOGRAM_1H = """
+SELECT user_id AS doc_id,
+       date_trunc('hour', ts) AS bucket_ts,
+       CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT) AS bin,
+       count(*) AS n
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
 def _q_sample_docs_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-Bernoulli 10% sample: a pure function of
     (seed, doc_id), identical on any cluster size / partitioning / engine
@@ -1876,6 +1937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg_1h": _q_time_weighted_avg_1h,
         "counter_delta_1h": _q_counter_delta_1h,
         "top_tokens_per_source": _q_top_tokens_per_source,
+        "tier_histogram_1h": _q_tier_histogram_1h,
+        "embedding_quantize_int8": _q_quantize_int8,
         "sample_docs_10pct": _q_sample_docs_10pct,
         "split_assign": _q_split_assign,
         "cap_docs_per_source": _q_cap_docs_per_source,
@@ -1934,6 +1997,8 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted_avg_1h": _SQL_TIME_WEIGHTED_AVG_1H,
         "counter_delta_1h": _SQL_COUNTER_DELTA_1H,
         "top_tokens_per_source": _SQL_TOP_TOKENS_PER_SOURCE,
+        "tier_histogram_1h": _SQL_TIER_HISTOGRAM_1H,
+        "embedding_quantize_int8": _SQL_QUANTIZE_INT8,
         "sample_docs_10pct": _SQL_SAMPLE_10PCT,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "cap_docs_per_source": _SQL_CAP_PER_SOURCE,

@@ -101,6 +101,19 @@ NOTES = {
         "distinct (source, token) partials (vocabulary-sized), never "
         "the exploded corpus."
     ),
+    "tier_histogram_1h": (
+        "Mergeable tier histogram: each bin is a conditional-sum "
+        "expression, so ONE partial+final HashAggregate pair builds the "
+        "whole array — the shuffle carries (key, bucket) rows of "
+        "n_bins partials, never per-bin row explosions; the 1m->1h "
+        "cascade is the same shape over 1/60th of the rows."
+    ),
+    "embedding_quantize_int8": (
+        "int8 quantization: pure array expressions inside "
+        "WholeStageCodegen, zero Exchange before the gate's explode — "
+        "the codes are computed scan-side and never shuffled at full "
+        "precision."
+    ),
     "sample_docs_10pct": (
         "Deterministic hash sample: map-only — the md5-prefix filter is "
         "a plain projection+filter over the scan, zero Exchange; the "
