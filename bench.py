@@ -123,6 +123,11 @@ def events_queries(spark, sf_dir: str) -> dict:
     names = [
         "tier_1m_events",
         "tier_cascade_1h_events",
+        # count() would prune an unreferenced histogram array, but the
+        # gate's n > 0 filter forces every bin; twa's plan ends in the
+        # aggregate itself
+        "tier_histogram_1h",
+        "time_weighted_avg_1h",
         "gapfill_locf",
         "gapfill_linear",
         "window_rep_1h",

@@ -184,3 +184,57 @@ def test_streaming_session_window_matches_batch(spark, tmp_path_factory):
     assert streamed <= batch
     n_keys = 6
     assert len(streamed) >= len(batch) - n_keys
+
+
+@pytest.mark.spark
+def test_streaming_histogram_matches_batch(spark, tmp_path_factory):
+    """Streamed 1m histograms are bit-identical to the batch operator's
+    for every emitted bucket (fixed bins merge exactly, so the streamed
+    tier can seed a batch cascade)."""
+    from tsclust_spark.operators.explode import EPOCH_T0
+    from tsclust_spark.operators.histogram import histogram_tier
+    from tsclust_spark.streaming.rollup_stream import (
+        read_sequence_stream,
+        streaming_histogram_1m,
+        streaming_points,
+    )
+
+    LO, HI, NB = 0.0, 1024.0, 8
+    src = sequences_path("smoke")
+    out = str(tmp_path_factory.mktemp("hist_out"))
+    ckpt = str(tmp_path_factory.mktemp("hist_ckpt"))
+
+    stream = streaming_histogram_1m(
+        streaming_points(read_sequence_stream(spark, src)),
+        LO, HI, NB, watermark="1 second",
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(out)
+    assert streamed.count() > 0
+    batch_points = (
+        spark.read.parquet(src)
+        .select("doc_id", F.posexplode("tokens").alias("pos", "value"))
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.unix_timestamp(F.to_timestamp(F.lit(EPOCH_T0)))
+                + F.col("pos").cast("long")
+            ),
+        )
+    )
+    batch = histogram_tier(batch_points, "1m", LO, HI, NB)
+    joined = streamed.alias("s").join(
+        batch.alias("b"), ["doc_id", "bucket_ts"], "inner"
+    )
+    assert joined.count() == streamed.count()
+    mismatch = joined.filter(F.expr("s.hist <> b.hist"))
+    assert mismatch.count() == 0

@@ -154,3 +154,40 @@ def run_stream_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_histogram_1m(
+    points: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    watermark: str = "10 minutes",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of ``operators.histogram.histogram_tier`` at 1m:
+    the same conditional-sum bins over ``groupBy(doc_id, window)`` with
+    a late-data watermark, so each emitted bucket's ``hist`` array is
+    bit-identical to the batch histogram for on-time data (asserted in
+    tests/test_streaming.py). Fixed-bin counts merge exactly, so a
+    downstream batch cascade over the streamed 1m tier stays exact.
+
+    State per (key, open bucket) is ``n_bins`` longs — independent of
+    event volume, the right bound at 100 TB ingest.
+    """
+    from tsclust_spark.operators.histogram import bin_index
+
+    idx = bin_index(F.col(value_col).cast("double"), lo, hi, n_bins)
+    bins = [
+        F.sum(F.when(idx == i, 1).otherwise(0)).cast("bigint").alias(f"_b{i}")
+        for i in range(n_bins)
+    ]
+    agg = (
+        points.withWatermark("ts", watermark)
+        .groupBy(F.col("doc_id"), F.window("ts", "1 minute").alias("w"))
+        .agg(*bins)
+    )
+    return agg.select(
+        "doc_id",
+        F.col("w.start").alias("bucket_ts"),
+        F.array(*[F.col(f"_b{i}") for i in range(n_bins)]).alias("hist"),
+    )
