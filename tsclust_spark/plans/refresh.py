@@ -48,11 +48,15 @@ def _align(t, tier):
 
 
 def read_watermark(spark: SparkSession, path: str):
-    """Stored high-water mark, or epoch if no refresh ever ran."""
-    try:
-        rows = spark.read.parquet(path).collect()
-    except Exception:
+    """Stored high-water mark, or None if no refresh ever ran. Probes
+    the FileSystem first — letting the read fail would spew a JVM stack
+    trace into every first run's logs."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         return None
+    rows = spark.read.parquet(path).collect()
     return rows[0].watermark if rows else None
 
 
