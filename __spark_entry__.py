@@ -342,6 +342,57 @@ GROUP BY 1, 2, 3
 """
 
 
+def _q_hist_percentiles_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 per (doc, hour) estimated from the mergeable
+    histogram (error <= one bin width, deterministic — no
+    interpolation). The oracle recomputes the same estimator with SQL
+    window cumsums over direct-from-raw bins; q*total is forced to
+    DOUBLE on both engines (DuckDB would otherwise use exact DECIMAL
+    arithmetic and round differently at ceil boundaries)."""
+    from tsclust_spark.operators.histogram import (
+        histogram_tier,
+        percentile_from_histogram,
+    )
+
+    points = _load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("doc_id"), "ts", "value"
+    )
+    h = histogram_tier(points, "1h", lo=0.0, hi=500.0, n_bins=20)
+    for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        h = percentile_from_histogram(h, q, 0.0, 500.0, 20, out_col=name)
+    return h.select("doc_id", "bucket_ts", "p50", "p90", "p99")
+
+
+def _sql_hist_pct(q: float) -> str:
+    return (
+        f"0.0 + 25.0 * (min(CASE WHEN c >= ceil(CAST({q} AS DOUBLE) * total) "
+        f"THEN bin END) + 1)"
+    )
+
+
+_SQL_HIST_PERCENTILES_1H = f"""
+WITH binned AS (
+  SELECT user_id AS doc_id, date_trunc('hour', ts) AS bucket_ts,
+         CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+counts AS (
+  SELECT doc_id, bucket_ts, bin, count(*) AS n FROM binned GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT doc_id, bucket_ts, bin,
+         sum(n) OVER (PARTITION BY doc_id, bucket_ts ORDER BY bin) AS c,
+         sum(n) OVER (PARTITION BY doc_id, bucket_ts) AS total
+  FROM counts
+)
+SELECT doc_id, bucket_ts,
+       {_sql_hist_pct(0.5)} AS p50,
+       {_sql_hist_pct(0.9)} AS p90,
+       {_sql_hist_pct(0.99)} AS p99
+FROM cum GROUP BY doc_id, bucket_ts
+"""
+
+
 def _q_sample_docs_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-Bernoulli 10% sample: a pure function of
     (seed, doc_id), identical on any cluster size / partitioning / engine
@@ -1939,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens_per_source": _q_top_tokens_per_source,
         "tier_histogram_1h": _q_tier_histogram_1h,
         "embedding_quantize_int8": _q_quantize_int8,
+        "hist_percentiles_1h": _q_hist_percentiles_1h,
         "sample_docs_10pct": _q_sample_docs_10pct,
         "split_assign": _q_split_assign,
         "cap_docs_per_source": _q_cap_docs_per_source,
@@ -1999,6 +2051,7 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens_per_source": _SQL_TOP_TOKENS_PER_SOURCE,
         "tier_histogram_1h": _SQL_TIER_HISTOGRAM_1H,
         "embedding_quantize_int8": _SQL_QUANTIZE_INT8,
+        "hist_percentiles_1h": _SQL_HIST_PERCENTILES_1H,
         "sample_docs_10pct": _SQL_SAMPLE_10PCT,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "cap_docs_per_source": _SQL_CAP_PER_SOURCE,
