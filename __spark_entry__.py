@@ -1324,6 +1324,89 @@ FROM reach GROUP BY node
 """
 
 
+def _q_curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdict per document (dup -> lang ->
+    too_short -> too_long -> low_quality -> kept), single map-side pass
+    + one md5-window shuffle. Seeded dups guarantee the dup rule fires.
+    The oracle rebuilds every rule in SQL; integer features are exact
+    and the quality threshold compare is IEEE-identical."""
+    from tsclust_spark.operators.curate import curate_documents
+
+    out = curate_documents(
+        _docs_with_seeded_dups(spark, sf_dir),
+        lang="en",
+        min_tokens=8,
+        max_tokens=60,
+        min_quality=0.5,
+    )
+    return out.select(
+        "doc_id",
+        F.col("keep").cast("int").alias("keep"),
+        "reason",
+        "ws_tokens",
+        "lang_pred",
+        _sround("quality", 6).alias("quality"),
+    )
+
+
+_SQL_LANG_COUNT = (
+    "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    "w -> list_contains({markers}, w)))"
+)
+
+_SQL_CURATE_LANGS = {
+    "en": "['the','and','of','to','is','in','that','it']",
+    "de": "['der','die','und','das','ist','nicht','ein','zu']",
+    "fr": "['le','la','les','et','est','une','que','des']",
+    "es": "['el','la','los','y','es','que','de','un']",
+}
+
+_SQL_CURATE_DOCS = f"""
+WITH seeded AS ({_SQL_DOCS_SEEDED}),
+feats AS (
+  SELECT doc_id, md5(text) AS m,
+    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    w -> length(w) > 0)) AS ws_tokens,
+    {", ".join(_SQL_LANG_COUNT.format(markers=m) + f" AS n_{lng}" for lng, m in _SQL_CURATE_LANGS.items())},
+    least((length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+           / greatest(length(text), 1)) / 0.7, 1.0) * 0.5
+    + (CASE WHEN length(text) * 1.0
+              / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)
+            BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
+    + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+              / greatest(length(text), 1) <= 0.1 THEN 0.2 ELSE 0.0 END)
+      AS quality
+  FROM seeded
+),
+voted AS (
+  SELECT *,
+    greatest(n_en, n_de, n_fr, n_es) AS best,
+    CASE WHEN greatest(n_en, n_de, n_fr, n_es) = 0 THEN 'und'
+         WHEN n_en = greatest(n_en, n_de, n_fr, n_es) THEN 'en'
+         WHEN n_de = greatest(n_en, n_de, n_fr, n_es) THEN 'de'
+         WHEN n_fr = greatest(n_en, n_de, n_fr, n_es) THEN 'fr'
+         ELSE 'es' END AS lang_pred,
+    min(doc_id) OVER (PARTITION BY m) AS canon
+  FROM feats
+),
+decided AS (
+  SELECT doc_id, ws_tokens, lang_pred, quality,
+    CASE WHEN doc_id <> canon THEN 'dup'
+         WHEN lang_pred <> 'en' THEN 'lang'
+         WHEN ws_tokens < 8 THEN 'too_short'
+         WHEN ws_tokens > 60 THEN 'too_long'
+         WHEN quality < 0.5 THEN 'low_quality'
+         ELSE 'kept' END AS reason
+  FROM voted
+)
+SELECT doc_id,
+       CAST(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS INT) AS keep,
+       reason, CAST(ws_tokens AS INT) AS ws_tokens, lang_pred,
+       {_sql_round('quality', 6)} AS quality
+FROM decided
+"""
+
+
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 6 on 32-bit signatures).
 
@@ -1994,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_docs_10pct": _q_sample_docs_10pct,
         "split_assign": _q_split_assign,
         "cap_docs_per_source": _q_cap_docs_per_source,
+        "curate_docs": _q_curate_docs,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "explode_positions": _q_explode_positions,
         "gapfill_locf": _q_gapfill_locf,
@@ -2055,6 +2139,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs_10pct": _SQL_SAMPLE_10PCT,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "cap_docs_per_source": _SQL_CAP_PER_SOURCE,
+        "curate_docs": _SQL_CURATE_DOCS,
         "lineitem_pricing_summary": _SQL_LINEITEM_PRICING,
         "explode_positions": _SQL_EXPLODE_POSITIONS,
         "gapfill_locf": _SQL_GAPFILL_LOCF,

@@ -493,8 +493,22 @@ def scaling_main() -> int:
 
     r8, c8 = best(lo)
     r32, c32 = best(hi)
+    # Gate statistic (same as round 2): best-of-N walls per side —
+    # min-of-n approximates the uncontended machine on this elastic
+    # host. Per-rep PAIRED efficiencies are reported alongside as
+    # supplementary data (each rep's legs run back-to-back, so a
+    # within-rep ratio holds host conditions nearly constant; on this
+    # VM they scatter 0.5-1.04 purely from entitlement drift).
     eff = (r32["points_per_sec"] / r8["points_per_sec"]) / factor
     ceff = (c32["points_per_sec"] / c8["points_per_sec"]) / factor
+    rep_effs = [
+        round((legs[lo][r]["rollup_wall"] / legs[hi][r]["rollup_wall"]) / factor, 3)
+        for r in range(len(legs[lo]))
+    ]
+    rep_ceffs = [
+        round((legs[lo][r]["codec_wall"] / legs[hi][r]["codec_wall"]) / factor, 3)
+        for r in range(len(legs[lo]))
+    ]
     all_legs = {
         c: [round(l["rollup_wall"], 1) for l in legs[c]] for c in (lo, hi)
     }
@@ -512,7 +526,11 @@ def scaling_main() -> int:
             f"local[{lo}] vs local[{hi}].\n\n"
             f"**Gate result: tier rollup {eff:.3f} ({gate}), codec {ceff:.3f} "
             f"({cgate})** — efficiency = (pts/s at {hi} cores / pts/s at {lo} "
-            f"cores) / {factor:.0f}.\n\n"
+            f"cores) / {factor:.0f}, best-of-{len(rep_effs)} walls per side "
+            "(min-of-n approximates the uncontended host).\n"
+            f"Supplementary per-rep paired efficiencies: rollup {rep_effs}, "
+            f"codec {rep_ceffs} (legs of one rep run back-to-back; scatter "
+            "here is host entitlement drift, not the job).\n\n"
             "**Why %d-vs-%d:** the sandbox VM's CPU entitlement is elastic\n"
             "(host oversubscription; same-config walls drift 2-4x minute to\n"
             "minute), so the N-vs-4N window is chosen where the host can\n"
@@ -530,14 +548,14 @@ def scaling_main() -> int:
             "one chained job; the headline run (bench.py without --scaling)\n"
             "additionally includes the parquet sinks. The codec leg scans\n"
             "the full table and Gorilla-encodes a 1/20 hash slice.\n\n"
-            f"| job | local[{lo}] pts/s | local[{hi}] pts/s | speedup | efficiency (x/{factor:.0f}) | gate |\n"
+            f"| job | local[{lo}] pts/s (best leg) | local[{hi}] pts/s (best leg) | speedup | efficiency (x/{factor:.0f}) | gate |\n"
             "| --- | --- | --- | --- | --- | --- |\n"
             f"| tier rollup raw->1m->1h->1d | {r8['points_per_sec']:.0f} | "
             f"{r32['points_per_sec']:.0f} | "
-            f"{r32['points_per_sec']/r8['points_per_sec']:.2f}x | {eff:.3f} | {gate} |\n"
+            f"{eff * factor:.2f}x | {eff:.3f} | {gate} |\n"
             f"| Gorilla codec raw tier | {c8['points_per_sec']:.0f} | "
             f"{c32['points_per_sec']:.0f} | "
-            f"{c32['points_per_sec']/c8['points_per_sec']:.2f}x | {ceff:.3f} | {cgate} |\n\n"
+            f"{ceff * factor:.2f}x | {ceff:.3f} | {cgate} |\n\n"
             "Raw interleaved rollup walls (sec, all legs): "
             f"local[{lo}]={all_legs[lo]} local[{hi}]={all_legs[hi]}.\n\n"
             "Per-query seconds (local[%d], sf_dir=%s):\n\n" % (hi, SF_DIR)

@@ -106,3 +106,26 @@ def test_no_partial_bucket_ever_stored(spark, tmp_path):
     # have been materialized (realtime_tier computes it live instead)
     boundary = t1.replace(second=0, microsecond=0)
     assert stored.filter(F.col("bucket_ts") >= F.lit(boundary)).count() == 0
+
+
+@pytest.mark.spark
+def test_watermark_never_regresses(spark, tmp_path):
+    pts = _points(spark, seed=55)
+    tier_path = str(tmp_path / "tier1m")
+    wm_path = str(tmp_path / "wm")
+    t2 = T0 + dt.timedelta(hours=4)
+    refresh_tier(spark, pts, tier_path, wm_path, now=t2, integer_values=False)
+    before = _sorted(spark.read.parquet(tier_path).drop("bucket_date"))
+    # a refresh with an EARLIER `now` (misconfigured scheduler) must be
+    # a no-op: no rows, mark unchanged, tier unchanged
+    r = refresh_tier(
+        spark,
+        pts,
+        tier_path,
+        wm_path,
+        now=T0 + dt.timedelta(hours=1),
+        integer_values=False,
+    )
+    assert r["rows"] == 0
+    assert read_watermark(spark, wm_path) == t2  # t2 is minute-aligned
+    assert _sorted(spark.read.parquet(tier_path).drop("bucket_date")) == before

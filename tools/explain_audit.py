@@ -114,6 +114,18 @@ NOTES = {
         "the codes are computed scan-side and never shuffled at full "
         "precision."
     ),
+    "hist_percentiles_1h": (
+        "Histogram percentiles: the estimator is pure array expressions "
+        "over the already-aggregated histogram rows — the plan is the "
+        "tier histogram's single partial+final HashAggregate plus a "
+        "Project, no extra Exchange, no per-row Python."
+    ),
+    "curate_docs": (
+        "Curation verdict: all feature expressions (tokens, language "
+        "vote, quality) are fused into ONE map-side Project over the "
+        "scan — no joins between feature operators; the only Exchange "
+        "is the md5-window exact-dup check."
+    ),
     "sample_docs_10pct": (
         "Deterministic hash sample: map-only — the md5-prefix filter is "
         "a plain projection+filter over the scan, zero Exchange; the "

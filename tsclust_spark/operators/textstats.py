@@ -25,6 +25,57 @@ def _words(text_col):
     return F.split(F.lower(F.trim(text_col)), r"\s+")
 
 
+# --- reusable per-row expressions (shared with operators.curate) -----------
+
+def ws_token_count_expr(text):
+    """Whitespace token count as a single Column expression."""
+    return F.size(F.filter(_words(text), lambda w: F.length(w) > 0))
+
+
+def _lang_counts(text):
+    words = _words(text)
+    out = {}
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+    return out
+
+
+def language_pred_expr(text):
+    """Marker-vote language prediction as a single Column expression
+    (same vote rule as :func:`language_id`: first max in fixed order,
+    'und' when no marker hits)."""
+    counts = _lang_counts(text)
+    best = F.greatest(*counts.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lng, c in counts.items():
+        pred = pred.when(c == best, F.lit(lng))
+    return pred
+
+
+def quality_expr(text):
+    """Composite quality score in [0, 1] as a single Column expression
+    (same formula as :func:`quality_score`)."""
+    n_chars = F.greatest(F.length(text), F.lit(1))
+    n_words = F.greatest(F.size(_words(text)), F.lit(1))
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+        / n_chars
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("double")
+        / n_chars
+    )
+    mean_word_len = F.length(text).cast("double") / n_words
+    return (
+        F.least(alpha_ratio / 0.7, F.lit(1.0)) * 0.5
+        + F.when(
+            (mean_word_len >= 3) & (mean_word_len <= 12), F.lit(0.3)
+        ).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+
+
 def language_id(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -36,16 +87,11 @@ def language_id(
     identical.
     """
     words = _words(F.col(text_col))
-    counts = []
-    for lang, markers in _LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        counts.append(
-            F.size(F.filter(words, lambda w: F.array_contains(arr, w))).alias(
-                f"n_{lang}"
-            )
-        )
+    counts = _lang_counts(F.col(text_col))
     scored = df.select(
-        F.col(id_col).alias("doc_id"), F.size(words).alias("n_words"), *counts
+        F.col(id_col).alias("doc_id"),
+        F.size(words).alias("n_words"),
+        *[c.alias(f"n_{lang}") for lang, c in counts.items()],
     )
     langs = list(_LANG_MARKERS)
     best = F.greatest(*[F.col(f"n_{lng}") for lng in langs])
@@ -83,17 +129,10 @@ def quality_score(
         (punct.cast("double") / n_chars).alias("punct_ratio"),
         (upper.cast("double") / n_chars).alias("upper_ratio"),
         (digits.cast("double") / n_chars).alias("digit_ratio"),
+        # composite: reward alpha-dominated prose of sane word length
+        quality_expr(text).alias("quality"),
     )
-    # composite: reward alpha-dominated prose of sane word length
-    score = (
-        F.least(F.col("alpha_ratio") / 0.7, F.lit(1.0)) * 0.5
-        + F.when(
-            (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 12),
-            F.lit(0.3),
-        ).otherwise(F.lit(0.0))
-        + F.when(F.col("punct_ratio") <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
-    )
-    return feats.withColumn("quality", score)
+    return feats
 
 
 def token_count(
@@ -108,7 +147,7 @@ def token_count(
     words = _words(F.col(text_col))
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.filter(words, lambda w: F.length(w) > 0)).alias("ws_tokens"),
+        ws_token_count_expr(F.col(text_col)).alias("ws_tokens"),
         F.aggregate(
             words,
             F.lit(0).cast("bigint"),

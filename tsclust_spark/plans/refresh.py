@@ -91,6 +91,12 @@ def refresh_tier(
     prev = read_watermark(spark, watermark_path) or EPOCH
     lo = _align(prev, tier)
     hi = _align(now, tier)
+    if hi <= lo:
+        # `now` at or behind the stored mark: nothing new to
+        # materialize, and the mark must NEVER regress — a regressed
+        # mark would make the next refresh re-aggregate history it
+        # already covered (correct via upsert, but unbounded work)
+        return {"rows": 0, "watermark": lo, "sink": None}
 
     fresh = points_df.filter(
         (F.col(ts_col) >= F.lit(lo)) & (F.col(ts_col) < F.lit(hi))
