@@ -2037,11 +2037,163 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_pos(spark: SparkSession, sf_dir: str, max_user: int = 20) -> DataFrame:
+    """Events as positioned per-user series: a total (ts, event_id)
+    ordering gives a deterministic 0-based ``pos`` both engines agree on."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events").filter(F.col("user_id") <= max_user)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "user_id", "ts", "event_id", "value",
+        (F.row_number().over(w) - F.lit(1)).alias("pos"),
+    )
+
+
+def _q_znorm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbolic front-end step 1: per-series z-normalization (window
+    aggregates, pure JVM — one Exchange on the series key)."""
+    from tsclust_spark.operators.symbolic import znormalize
+
+    pts = _events_pos(spark, sf_dir)
+    out = znormalize(pts, id_col="user_id", pos_col="pos", value_col="value")
+    return out.select(
+        "user_id", "event_id", _sround("zvalue", 6).alias("zvalue")
+    )
+
+
+_SQL_ZNORM_EVENTS = f"""
+SELECT user_id, event_id,
+       {_sql_round('coalesce((value - avg(value) OVER w) / nullif(stddev_pop(value) OVER w, 0.0), 0.0)', 6)} AS zvalue
+FROM events
+WHERE user_id <= 20
+WINDOW w AS (PARTITION BY user_id)
+"""
+
+
+def _q_paa_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbolic front-end step 2: Piecewise Aggregate Approximation —
+    8 segment means per user series; shuffle carries only 8 rows/series
+    after map-side partial aggregation."""
+    from tsclust_spark.operators.symbolic import paa
+
+    pts = _events_pos(spark, sf_dir)
+    out = paa(pts, n_segments=8, id_col="user_id", pos_col="pos",
+              value_col="value")
+    return out.select(
+        "user_id", "segment", _sround("paa_value", 6).alias("paa_value"),
+        "seg_n",
+    )
+
+
+_SQL_PAA_EVENTS = f"""
+WITH ranked AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS r,
+         count(*) OVER (PARTITION BY user_id) AS len
+  FROM events WHERE user_id <= 20
+)
+SELECT user_id,
+       CAST(floor(r * 8 / len) AS INT) AS segment,
+       {_sql_round('avg(value)', 6)} AS paa_value,
+       count(*) AS seg_n
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
+def _make_sql_sax_words(n_segments: int = 8, alphabet_size: int = 4) -> str:
+    """Oracle twin of operators.symbolic.sax_words — breakpoints are the
+    SAME literals the Spark side compares against (generated from one
+    helper), and the PAA mean is quantized with the engine-wide
+    floor-rounding before the comparison on both sides."""
+    from tsclust_spark.operators.symbolic import gaussian_breakpoints
+
+    bps = gaussian_breakpoints(alphabet_size)
+    sym = " + ".join(
+        f"(CASE WHEN pv > {bp!r} THEN 1 ELSE 0 END)" for bp in bps
+    )
+    return f"""
+WITH z AS (
+  SELECT user_id, ts, event_id,
+         coalesce((value - avg(value) OVER w) / nullif(stddev_pop(value) OVER w, 0.0), 0.0) AS zv
+  FROM events WHERE user_id <= 20
+  WINDOW w AS (PARTITION BY user_id)
+),
+ranked AS (
+  SELECT user_id, zv,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS r,
+         count(*) OVER (PARTITION BY user_id) AS len
+  FROM z
+),
+p AS (
+  SELECT user_id,
+         CAST(floor(r * {n_segments} / len) AS INT) AS segment,
+         {_sql_round('avg(zv)', 6)} AS pv
+  FROM ranked GROUP BY 1, 2
+)
+SELECT user_id,
+       string_agg(chr(97 + ({sym})), '' ORDER BY segment) AS sax_word
+FROM p
+GROUP BY user_id
+"""
+
+
+def _q_sax_words_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SAX pipeline (znorm -> PAA -> equiprobable-breakpoint
+    symbols -> word): numeric series to short strings for symbolic
+    grouping; entire chain is JVM expressions with Exchanges only on
+    the series key."""
+    from tsclust_spark.operators.symbolic import sax_words
+
+    pts = _events_pos(spark, sf_dir)
+    return sax_words(
+        pts, n_segments=8, alphabet_size=4,
+        id_col="user_id", pos_col="pos", value_col="value",
+    )
+
+
+def _q_dtw_pruned_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LB_Keogh pruning hash-gate (dtw_selfcheck pattern): per pair,
+    the bound must lower-bound the banded DTW AND pruning at eps must
+    never discard a pair with dist <= eps — emitted as booleans so the
+    constant-true pair table is the oracle. Bound VALUES are
+    pytest-oracled (tests/test_dtw_lb.py)."""
+    from tsclust_spark.kernels.dtw_lb import dtw_pruned_consistency
+
+    emb = (
+        _load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 24)
+        .select(
+            F.col("vec_id").cast("string").alias("doc_id"),
+            F.col("embedding").alias("tokens"),
+        )
+    )
+    return dtw_pruned_consistency(emb, eps=0.4, sakoe_chiba_radius=2)
+
+
+_SQL_DTW_PRUNED_CHECK = """
+SELECT CAST(a.vec_id AS VARCHAR) AS id_a,
+       CAST(b.vec_id AS VARCHAR) AS id_b,
+       true AS ok
+FROM embeddings a
+JOIN embeddings b
+  ON CAST(a.vec_id AS VARCHAR) < CAST(b.vec_id AS VARCHAR)
+WHERE a.vec_id < 24 AND b.vec_id < 24
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "window_rep_1h": _q_window_rep_1h,
         "codec_roundtrip": _q_codec_roundtrip,
         "dtw_selfcheck": _q_dtw_selfcheck,
+        "dtw_pruned_check": _q_dtw_pruned_check,
+        "znorm_events": _q_znorm_events,
+        "paa_events": _q_paa_events,
+        "sax_words_events": _q_sax_words_events,
         "cluster_invariants": _q_cluster_invariants,
         "renest_roundtrip": _q_renest_roundtrip,
         "parity_diff": _q_parity_diff,
@@ -2104,6 +2256,10 @@ def oracle_sql() -> dict[str, str]:
         # gates assert kernel self-consistency + invariants as booleans
         # against constant-true oracles (values oracled in tests/)
         "dtw_selfcheck": _SQL_DTW_SELFCHECK,
+        "dtw_pruned_check": _SQL_DTW_PRUNED_CHECK,
+        "znorm_events": _SQL_ZNORM_EVENTS,
+        "paa_events": _SQL_PAA_EVENTS,
+        "sax_words_events": _make_sql_sax_words(8, 4),
         "cluster_invariants": _SQL_CLUSTER_INVARIANTS,
         "embedding_near_dups": _SQL_EMB_NEAR_DUPS,
         "renest_roundtrip": _SQL_RENEST,
