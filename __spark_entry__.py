@@ -2155,6 +2155,87 @@ def _q_sax_words_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval (range) join: assign every event to its
+    containing session interval via the (key, time-bucket) equi-join +
+    exact BETWEEN filter — never the naive key-only fan-out.  Oracle is
+    the direct window-based per-event session assignment, so the join
+    must reproduce the assignment exactly (boundary events included)."""
+    from tsclust_spark.operators.asof import session_stats
+    from tsclust_spark.operators.intervaljoin import interval_join_bucketed
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 30)
+        .select(F.col("user_id").alias("doc_id"), "event_id", "ts")
+    )
+    sess = session_stats(ev.select("doc_id", "ts"), gap_seconds=600).select(
+        "doc_id", "session_id", "session_start", "session_end"
+    )
+    out = interval_join_bucketed(
+        ev, sess, key_cols=["doc_id"], ts_col="ts", bucket_seconds=1800
+    )
+    return out.select("event_id", "doc_id", "session_id")
+
+
+_SQL_INTERVAL_SESSION_ASSIGN = """
+WITH pts AS (
+  SELECT user_id AS doc_id, event_id, ts FROM events WHERE user_id <= 30
+),
+lagged AS (
+  SELECT doc_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR CAST(floor(epoch(ts)) AS BIGINT)
+              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 600
+         THEN 1 ELSE 0 END AS is_new
+  FROM pts
+  WINDOW w AS (PARTITION BY doc_id ORDER BY ts)
+)
+SELECT event_id, doc_id,
+       CAST(sum(is_new) OVER (
+         PARTITION BY doc_id ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT)
+         AS session_id
+FROM lagged
+"""
+
+
+def _q_series_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over aligned 1-hour buckets:
+    bucket-equi-join (never crossJoin) + partially-aggregated per-pair
+    corr; zero-variance pairs dropped identically on both engines."""
+    from tsclust_spark.operators.correlate import series_corr_pairs
+
+    ev = _load(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    out = series_corr_pairs(
+        ev, key_col="user_id", bucket="hour", min_overlap=5
+    )
+    return out.select(
+        "key_a", "key_b", "n_overlap", _sround("r", 6).alias("r")
+    )
+
+
+_SQL_SERIES_CORR_PAIRS = f"""
+WITH b AS (
+  SELECT user_id AS key, date_trunc('hour', ts) AS bucket_ts, avg(value) AS v
+  FROM events WHERE user_id <= 30 GROUP BY 1, 2
+),
+j AS (
+  SELECT a.key AS key_a, c.key AS key_b, a.v AS v_a, c.v AS v_b
+  FROM b a JOIN b c ON a.bucket_ts = c.bucket_ts AND a.key < c.key
+),
+agg AS (
+  SELECT key_a, key_b, count(*) AS n_overlap,
+         covar_samp(v_a, v_b)
+           / nullif(stddev_samp(v_a) * stddev_samp(v_b), 0.0) AS raw_r
+  FROM j GROUP BY 1, 2
+)
+SELECT key_a, key_b, n_overlap, {_sql_round('raw_r', 6)} AS r
+FROM agg
+WHERE n_overlap >= 5 AND raw_r IS NOT NULL AND NOT isnan(raw_r)
+"""
+
+
 def _q_dtw_pruned_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LB_Keogh pruning hash-gate (dtw_selfcheck pattern): per pair,
     the bound must lower-bound the banded DTW AND pruning at eps must
@@ -2194,6 +2275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "znorm_events": _q_znorm_events,
         "paa_events": _q_paa_events,
         "sax_words_events": _q_sax_words_events,
+        "interval_session_assign": _q_interval_session_assign,
+        "series_corr_pairs": _q_series_corr_pairs,
         "cluster_invariants": _q_cluster_invariants,
         "renest_roundtrip": _q_renest_roundtrip,
         "parity_diff": _q_parity_diff,
@@ -2260,6 +2343,8 @@ def oracle_sql() -> dict[str, str]:
         "znorm_events": _SQL_ZNORM_EVENTS,
         "paa_events": _SQL_PAA_EVENTS,
         "sax_words_events": _make_sql_sax_words(8, 4),
+        "interval_session_assign": _SQL_INTERVAL_SESSION_ASSIGN,
+        "series_corr_pairs": _SQL_SERIES_CORR_PAIRS,
         "cluster_invariants": _SQL_CLUSTER_INVARIANTS,
         "embedding_near_dups": _SQL_EMB_NEAR_DUPS,
         "renest_roundtrip": _SQL_RENEST,

@@ -1,0 +1,85 @@
+"""Pairwise Pearson correlation between series over aligned time
+buckets.
+
+Plan shape: bucket each series to one row per (key, bucket) — partial
+aggregation map-side, one Exchange on the series key — then equi-join
+the bucketed table with itself ON THE BUCKET (never a crossJoin): each
+time bucket contributes |keys_in_bucket|^2/2 pair rows, and the final
+per-pair corr() aggregation is again partially aggregated before its
+Exchange on (key_a, key_b).
+
+Scale note: all-pairs correlation is inherently O(k^2) in the number of
+series sharing a bucket; at 100 TB you bound k per bucket (candidate
+pre-filter — SAX word equality from operators.symbolic, an LSH bucket
+from operators.similarity, or an explicit pair list) and feed the
+restricted pair set through the same bucket-join.  ``min_overlap``
+drops pairs with too few shared buckets to correlate meaningfully —
+applied post-aggregation, like SQL HAVING.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """One mean-value row per (key, time bucket)."""
+    return (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(F.avg(value_col).alias("v"))
+    )
+
+
+def series_corr_pairs(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+    min_overlap: int = 5,
+) -> DataFrame:
+    """Pearson correlation for every pair of series with at least
+    ``min_overlap`` shared buckets.
+
+    Output: ``(key_a, key_b, n_overlap bigint, r double)`` with
+    key_a < key_b and r the sample correlation (zero-variance pairs,
+    where corr is undefined, are dropped on both engines).
+    """
+    b = bucketize(df, key_col, ts_col, value_col, bucket)
+    left = b.select(
+        F.col("key").alias("key_a"), "bucket_ts", F.col("v").alias("v_a")
+    )
+    right = b.select(
+        F.col("key").alias("key_b"), "bucket_ts", F.col("v").alias("v_b")
+    )
+    pairs = left.join(right, on="bucket_ts").filter(
+        F.col("key_a") < F.col("key_b")
+    )
+    # covar/(sd*sd) with a nullif guard instead of F.corr: under ANSI
+    # mode (Spark 4 default) corr on a zero-variance pair raises
+    # DIVIDE_BY_ZERO; the guard yields NULL there, matching SQL corr()
+    out = (
+        pairs.groupBy("key_a", "key_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            (
+                F.covar_samp("v_a", "v_b")
+                / F.nullif(
+                    F.stddev_samp("v_a") * F.stddev_samp("v_b"), F.lit(0.0)
+                )
+            ).alias("r"),
+        )
+        .filter(F.col("n_overlap") >= min_overlap)
+        .filter(F.col("r").isNotNull() & ~F.isnan("r"))
+    )
+    return out
