@@ -2155,6 +2155,90 @@ def _q_sax_words_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-rule quality flags (word count, mean word
+    length, alpha fraction, stopwords, repetition) — map-only HOF
+    expressions, zero shuffle; every ratio is an exact small-integer
+    division so the booleans are bit-identical across engines."""
+    from tsclust_spark.operators.gopher import gopher_flags
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = gopher_flags(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        _sround("mean_word_len", 6).alias("mean_word_len"),
+        _sround("alpha_frac", 6).alias("alpha_frac"),
+        F.col("n_stop").cast("bigint").alias("n_stop"),
+        _sround("top_word_frac", 6).alias("top_word_frac"),
+        _sround("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_alpha_words",
+        "ok_stopwords",
+        "ok_top_word",
+        "ok_dup_2gram",
+        "gopher_pass",
+    )
+
+
+def _make_sql_gopher_flags() -> str:
+    """DuckDB twin of operators.gopher.gopher_flags — same stopword
+    list literal, same thresholds, 1-based list indexing for the
+    bigram construction."""
+    from tsclust_spark.operators.gopher import STOPWORDS
+
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> len(x) > 0) AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    list_sum(list_transform(words, x -> len(x))) * 1.0
+      / greatest(len(words), 1) AS mwl,
+    len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) * 1.0
+      / greatest(len(words), 1) AS alpha_frac,
+    len(list_filter([{stop}], s -> list_contains(words, s))) AS n_stop,
+    list_max(list_transform(list_distinct(words),
+                            x -> len(list_filter(words, y -> y = x)))) * 1.0
+      / greatest(len(words), 1) AS top_frac,
+    CASE WHEN len(words) < 2 THEN 0.0 ELSE
+      1.0 - len(list_distinct(list_transform(range(1, len(words)),
+                 i -> words[i] || ' ' || words[i+1]))) * 1.0
+            / (len(words) - 1)
+    END AS dup2
+  FROM w
+),
+f AS (
+  SELECT doc_id, n_words, mwl, alpha_frac, n_stop, top_frac, dup2,
+    (n_words BETWEEN 10 AND 100000) AS ok_word_count,
+    (mwl BETWEEN 3.0 AND 10.0) AS ok_mean_word_len,
+    (alpha_frac >= 0.8) AS ok_alpha_words,
+    (n_stop >= 2) AS ok_stopwords,
+    (top_frac <= 0.2) AS ok_top_word,
+    (dup2 <= 0.3) AS ok_dup_2gram
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       {_sql_round('mwl', 6)} AS mean_word_len,
+       {_sql_round('alpha_frac', 6)} AS alpha_frac,
+       CAST(n_stop AS BIGINT) AS n_stop,
+       {_sql_round('top_frac', 6)} AS top_word_frac,
+       {_sql_round('dup2', 6)} AS dup_2gram_frac,
+       ok_word_count, ok_mean_word_len, ok_alpha_words, ok_stopwords,
+       ok_top_word, ok_dup_2gram,
+       (ok_word_count AND ok_mean_word_len AND ok_alpha_words
+        AND ok_stopwords AND ok_top_word AND ok_dup_2gram) AS gopher_pass
+FROM f
+"""
+
+
 def _q_interval_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed interval (range) join: assign every event to its
     containing session interval via the (key, time-bucket) equi-join +
@@ -2275,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "znorm_events": _q_znorm_events,
         "paa_events": _q_paa_events,
         "sax_words_events": _q_sax_words_events,
+        "gopher_flags": _q_gopher_flags,
         "interval_session_assign": _q_interval_session_assign,
         "series_corr_pairs": _q_series_corr_pairs,
         "cluster_invariants": _q_cluster_invariants,
@@ -2343,6 +2428,7 @@ def oracle_sql() -> dict[str, str]:
         "znorm_events": _SQL_ZNORM_EVENTS,
         "paa_events": _SQL_PAA_EVENTS,
         "sax_words_events": _make_sql_sax_words(8, 4),
+        "gopher_flags": _make_sql_gopher_flags(),
         "interval_session_assign": _SQL_INTERVAL_SESSION_ASSIGN,
         "series_corr_pairs": _SQL_SERIES_CORR_PAIRS,
         "cluster_invariants": _SQL_CLUSTER_INVARIANTS,

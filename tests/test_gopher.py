@@ -1,0 +1,65 @@
+"""Gopher quality rules: each rule triggered by a constructed document."""
+
+import pytest
+
+from tsclust_spark.operators.gopher import gopher_flags
+
+
+DOCS = {
+    "good": "the quick brown fox jumps over a lazy dog near the river bank "
+            "and keeps running to the far side of town with great speed",
+    "too_short": "the a of",
+    "long_words": "the a incomprehensibilities antidisestablishmentarianism "
+                  "floccinaucinihilipilification electroencephalographically "
+                  "pseudopseudohypoparathyroidism spectrophotofluorometrically "
+                  "hepaticocholangiogastrostomy pneumonoultramicroscopicsilico "
+                  "otorhinolaryngological immunoelectrophoretically",
+    "numeric": "the a 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18",
+    "no_stop": "quick brown fox jumps over lazy dog near river bank keeps "
+               "running far side town with great speed every single day",
+    "repeat_word": "the a spam spam spam spam spam spam spam spam spam spam "
+                   "spam spam spam spam spam spam spam spam spam spam spam",
+    "repeat_gram": "the a one two one two one two one two one two one two "
+                   "one two one two one two one two one two one two",
+}
+
+
+@pytest.fixture(scope="module")
+def flags(spark):
+    df = spark.createDataFrame(
+        [(k, v) for k, v in DOCS.items()], "doc_id string, text string"
+    )
+    return {r["doc_id"]: r.asDict() for r in gopher_flags(df).collect()}
+
+
+def test_good_doc_passes(flags):
+    assert flags["good"]["gopher_pass"] is True
+
+
+@pytest.mark.parametrize(
+    "doc,failing_flag",
+    [
+        ("too_short", "ok_word_count"),
+        ("long_words", "ok_mean_word_len"),
+        ("numeric", "ok_alpha_words"),
+        ("no_stop", "ok_stopwords"),
+        ("repeat_word", "ok_top_word"),
+        ("repeat_gram", "ok_dup_2gram"),
+    ],
+)
+def test_each_rule_fires(flags, doc, failing_flag):
+    assert flags[doc][failing_flag] is False, flags[doc]
+    assert flags[doc]["gopher_pass"] is False
+
+
+def test_metric_values(flags):
+    g = flags["good"]
+    words = DOCS["good"].lower().split()
+    assert g["n_words"] == len(words)
+    assert g["mean_word_len"] == pytest.approx(
+        sum(len(w) for w in words) / len(words)
+    )
+    assert g["alpha_frac"] == 1.0
+    assert g["dup_2gram_frac"] == 0.0
+    r = flags["repeat_word"]
+    assert r["top_word_frac"] == pytest.approx(21 / 23)
