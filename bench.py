@@ -171,6 +171,57 @@ def dtw_block_benchmark(spark, sf_dir: str) -> dict:
     return {"pairs": int(n), "wall_sec": wall, "pairs_per_sec": n / wall}
 
 
+def dtw_pruned_benchmark(spark, sf_dir: str) -> dict:
+    """Same 64-doc block as dtw_block_benchmark, but through the
+    LB_Keogh-pruned kernel at eps=4.0 (a near-neighbor search
+    threshold; LB median ~5 on this block, so ~half the DPs are
+    skipped). The interesting numbers are the prune rate and the wall
+    ratio vs the unpruned row."""
+    from pyspark.sql import functions as F
+
+    from tsclust_spark.kernels.dtw_lb import dtw_pairs_pruned
+    from tsclust_spark.sources.datagen import read_sequences
+
+    seq = (
+        read_sequences(spark, "smoke")
+        .filter(F.col("n_tok") >= 64)
+        .limit(64)
+        .select("doc_id", F.slice("tokens", 1, 256).alias("tokens"))
+    )
+    left = seq.select(
+        F.col("doc_id").cast("string").alias("id_a"),
+        F.col("tokens").alias("tokens_a"),
+    )
+    right = seq.select(
+        F.col("doc_id").cast("string").alias("id_b"),
+        F.col("tokens").alias("tokens_b"),
+    )
+    pairs = (
+        left.join(right, F.col("id_a") < F.col("id_b"))
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+    )
+    t0 = time.time()
+    agg = (
+        dtw_pairs_pruned(
+            pairs, eps=4.0, sakoe_chiba_radius=8, keep_pruned=True
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("pruned").cast("int")).alias("n_pruned"),
+        )
+        .collect()[0]
+    )
+    wall = time.time() - t0
+    n, n_pruned = int(agg["n"]), int(agg["n_pruned"])
+    return {
+        "pairs": n,
+        "pruned": n_pruned,
+        "prune_rate": round(n_pruned / max(n, 1), 3),
+        "wall_sec": wall,
+        "pairs_per_sec": n / wall,
+    }
+
+
 def run_suite(cores: int, sf_dir: str) -> dict:
     from tsclust_spark.session import get_spark
     from tsclust_spark.sources.datagen import sequences_path
@@ -206,16 +257,19 @@ def run_suite(cores: int, sf_dir: str) -> dict:
         # ±12% on identical code purely from VM drift — min-of-3 makes a
         # regression in these rows signal, not noise
         dtw = _best_of(lambda: dtw_block_benchmark(spark, sf_dir), 3)
+        dtw_pruned = _best_of(lambda: dtw_pruned_benchmark(spark, sf_dir), 3)
     finally:
         spark.stop()
         shutil.rmtree(out_dir, ignore_errors=True)
     queries["rollup_tiers_bench_seq"] = round(rollup["wall_sec"], 3)
     queries["codec_raw_20k"] = round(codec["wall_sec"], 3)
     queries["dtw_block_64"] = round(dtw["wall_sec"], 3)
+    queries["dtw_pruned_block_64"] = round(dtw_pruned["wall_sec"], 3)
     return {
         "rollup": rollup,
         "codec": codec,
         "dtw": dtw,
+        "dtw_pruned": dtw_pruned,
         "queries": queries,
     }
 
@@ -241,6 +295,10 @@ def main() -> int:
                 "codec_points_per_sec": round(res["codec"]["points_per_sec"], 1),
                 "codec_bytes_per_point": round(res["codec"]["bytes_per_point"], 3),
                 "dtw_pairs_per_sec": round(res["dtw"]["pairs_per_sec"], 2),
+                "dtw_pruned_prune_rate": res["dtw_pruned"]["prune_rate"],
+                "dtw_pruned_pairs_per_sec": round(
+                    res["dtw_pruned"]["pairs_per_sec"], 2
+                ),
                 "cpus": CPUS,
             }
         )

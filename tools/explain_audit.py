@@ -139,6 +139,41 @@ NOTES = {
         "than the corpus), with localCheckpoint truncating per-iteration "
         "lineage so the plan stays flat across rounds."
     ),
+    "dtw_pruned_check": (
+        "LB_Keogh pruning: envelope + bound + conditional DP all live "
+        "inside ONE mapInPandas node over the candidate pairs — the "
+        "prune decision is batch-local, adds no Exchange, and skips "
+        "the O(n*band) DP for every pair the O(n) bound rejects."
+    ),
+    "sax_words_events": (
+        "SAX pipeline: znorm window, position rank, PAA aggregate and "
+        "the word concat all partition on the series key — AQE reuses "
+        "one hash partitioning; symbol mapping is a branch-free "
+        "comparison sum inside WholeStageCodegen, zero Python."
+    ),
+    "interval_session_assign": (
+        "Bucketed range join: intervals explode into coarse time "
+        "buckets, points land in exactly one, and the join is an "
+        "equi-join on (key, bucket) + exact BETWEEN residual — fan-out "
+        "bounded by per-bucket overlap instead of the naive key-only "
+        "join's points x intervals blow-up."
+    ),
+    "series_corr_pairs": (
+        "Pairwise correlation: series bucket-reduce first (partial "
+        "agg), the self-join is on the time bucket (never crossJoin), "
+        "and per-pair corr partially aggregates before its Exchange on "
+        "(key_a, key_b)."
+    ),
+    "gopher_flags": (
+        "Gopher quality rules: every rule is a higher-order-function "
+        "expression over one split of the text — a single map-side "
+        "Project over the scan, zero Exchange, zero Python."
+    ),
+    "rolling_stats_10m": (
+        "Trailing RANGE-frame rolling stats: one Exchange on the "
+        "series key, then a single sorted WindowExec evaluates all "
+        "five aggregates over the same frame."
+    ),
     "lttb_invariants": (
         "LTTB twin check: the numpy kernel side is ONE mapInPandas "
         "node (no Exchange before the per-doc aggregate), and the "
