@@ -2155,6 +2155,170 @@ def _q_sax_words_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA recurrence (alpha=0.3) per user series via one
+    applyInPandas pass; the oracle is a recursive CTE stepping the SAME
+    literal recurrence y = 0.7*y_prev + 0.3*x — identical IEEE op order
+    on both engines, so round-6 comparison is boundary-safe (the
+    closed-form power series alternative is pytest-covered instead:
+    tests/test_ewma_tfidf.py)."""
+    from tsclust_spark.operators.ewma import ewma
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 10)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = ewma(ev, alpha=0.3)
+    return out.select(
+        "user_id", "event_id", _sround("ewma_value", 6).alias("ewma_value")
+    )
+
+
+_SQL_EWMA_EVENTS = f"""
+WITH RECURSIVE pts AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS r
+  FROM events WHERE user_id <= 10
+),
+rec AS (
+  SELECT user_id, event_id, r, value AS y FROM pts WHERE r = 0
+  UNION ALL
+  SELECT p.user_id, p.event_id, p.r, 0.7 * rec.y + 0.3 * p.value
+  FROM rec JOIN pts p ON p.user_id = rec.user_id AND p.r = rec.r + 1
+)
+SELECT user_id, event_id, {_sql_round('y', 6)} AS ewma_value FROM rec
+"""
+
+
+def _q_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: vocabulary-sized df shuffle,
+    bounded per-doc top-k window; score quantized BEFORE ranking with a
+    token tiebreak so 1-ulp ln() differences cannot flip ranks."""
+    from tsclust_spark.operators.tfidf import tfidf_top_terms
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, k=3)
+
+
+_SQL_TFIDF_TOP3 = rf"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> len(x) > 0) AS words
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, len(words) AS length, unnest(words) AS token FROM w
+),
+tf AS (
+  SELECT doc_id, length, token, count(*) AS tf FROM toks GROUP BY 1, 2, 3
+),
+dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.token, tf.tf, dfreq.df,
+         {_sql_round('tf.tf * 1.0 / tf.length * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0)', 6)} AS tfidf
+  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tf, df, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, token) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def _q_rolling_stats_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 10-minute RANGE-frame rolling stats over irregular
+    events: one Exchange on the key, one sorted WindowExec computing
+    every aggregate; epoch-second ordering keeps frame boundaries
+    engine-exact."""
+    from tsclust_spark.operators.rolling import rolling_stats
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 30)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = rolling_stats(ev, window_seconds=600)
+    return out.select(
+        "user_id",
+        "event_id",
+        "roll_n",
+        _sround("roll_avg", 6).alias("roll_avg"),
+        _sround("roll_min", 6).alias("roll_min"),
+        _sround("roll_max", 6).alias("roll_max"),
+        _sround("roll_std", 6).alias("roll_std"),
+    )
+
+
+_SQL_ROLLING_STATS_10M = f"""
+WITH pts AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS e, value
+  FROM events WHERE user_id <= 30
+)
+SELECT user_id, event_id,
+       count(*) OVER w AS roll_n,
+       {_sql_round('avg(value) OVER w', 6)} AS roll_avg,
+       {_sql_round('min(value) OVER w', 6)} AS roll_min,
+       {_sql_round('max(value) OVER w', 6)} AS roll_max,
+       {_sql_round('stddev_samp(value) OVER w', 6)} AS roll_std
+FROM pts
+WINDOW w AS (PARTITION BY user_id ORDER BY e
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_zscore_anomalies_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flags vs the trailing 1-hour window; the score is
+    quantized before the 3-sigma comparison so borderline flags are
+    engine-identical. All rows emitted (flag column), so a flapping
+    boundary would hash-mismatch rather than silently change row sets."""
+    from tsclust_spark.operators.rolling import zscore_anomalies
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 30)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = zscore_anomalies(ev, window_seconds=3600, threshold=3.0)
+    return out.select(
+        "user_id", "event_id", "roll_n",
+        _sround("abs_z", 6).alias("abs_z"), "is_anomaly",
+    )
+
+
+_SQL_ZSCORE_ANOMALIES_1H = f"""
+WITH pts AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS e, value
+  FROM events WHERE user_id <= 30
+),
+r AS (
+  SELECT user_id, event_id,
+         count(*) OVER w AS roll_n,
+         avg(value) OVER w AS roll_avg,
+         stddev_samp(value) OVER w AS roll_std,
+         value
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY e
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+),
+z AS (
+  SELECT user_id, event_id, roll_n,
+         {_sql_round('abs((value - roll_avg) / nullif(roll_std, 0.0))', 6)} AS abs_z
+  FROM r
+)
+SELECT user_id, event_id, roll_n, abs_z,
+       coalesce(abs_z > 3.0, false) AS is_anomaly
+FROM z
+"""
+
+
 def _q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-rule quality flags (word count, mean word
     length, alpha fraction, stopwords, repetition) — map-only HOF
@@ -2359,6 +2523,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "znorm_events": _q_znorm_events,
         "paa_events": _q_paa_events,
         "sax_words_events": _q_sax_words_events,
+        "ewma_events": _q_ewma_events,
+        "tfidf_top3": _q_tfidf_top3,
+        "rolling_stats_10m": _q_rolling_stats_10m,
+        "zscore_anomalies_1h": _q_zscore_anomalies_1h,
         "gopher_flags": _q_gopher_flags,
         "interval_session_assign": _q_interval_session_assign,
         "series_corr_pairs": _q_series_corr_pairs,
@@ -2428,6 +2596,10 @@ def oracle_sql() -> dict[str, str]:
         "znorm_events": _SQL_ZNORM_EVENTS,
         "paa_events": _SQL_PAA_EVENTS,
         "sax_words_events": _make_sql_sax_words(8, 4),
+        "ewma_events": _SQL_EWMA_EVENTS,
+        "tfidf_top3": _SQL_TFIDF_TOP3,
+        "rolling_stats_10m": _SQL_ROLLING_STATS_10M,
+        "zscore_anomalies_1h": _SQL_ZSCORE_ANOMALIES_1H,
         "gopher_flags": _make_sql_gopher_flags(),
         "interval_session_assign": _SQL_INTERVAL_SESSION_ASSIGN,
         "series_corr_pairs": _SQL_SERIES_CORR_PAIRS,
