@@ -159,10 +159,12 @@ NOTES = {
         "join's points x intervals blow-up."
     ),
     "series_corr_pairs": (
-        "Pairwise correlation: series bucket-reduce first (partial "
-        "agg), the self-join is on the time bucket (never crossJoin), "
-        "and per-pair corr partially aggregates before its Exchange on "
-        "(key_a, key_b)."
+        "Pairwise correlation with NO self-join: each bucket's series "
+        "collect into one sorted array (one Exchange) and the i<j pairs "
+        "expand map-side via higher-order functions — a DataFrame "
+        "self-join would have computed the bucketize aggregation twice "
+        "and added two join Exchanges; this plan has exactly two "
+        "Exchanges (bucket collect, per-pair corr)."
     ),
     "gopher_flags": (
         "Gopher quality rules: every rule is a higher-order-function "

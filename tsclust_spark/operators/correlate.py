@@ -56,14 +56,38 @@ def series_corr_pairs(
     where corr is undefined, are dropped on both engines).
     """
     b = bucketize(df, key_col, ts_col, value_col, bucket)
-    left = b.select(
-        F.col("key").alias("key_a"), "bucket_ts", F.col("v").alias("v_a")
+    # pair expansion WITHOUT a self-join: a DataFrame self-join would
+    # compute the bucketize aggregation twice (Spark does not dedupe a
+    # twice-referenced subplan) and add two more Exchanges for the join
+    # key. Instead: collect each bucket's (key, v) rows into one sorted
+    # array (one Exchange, reusing the bucketize output) and expand the
+    # i<j pairs with higher-order functions, map-side. Per-bucket memory
+    # is O(#series in the bucket) — the same quadratic pair OUTPUT as
+    # the join, but the input row is bounded by the candidate-set
+    # discipline described above.
+    arr = F.array_sort(F.collect_list(F.struct("key", "v")))
+    buckets = b.groupBy("bucket_ts").agg(arr.alias("_arr"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_arr"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("_arr"),
+                    i + F.lit(2),
+                    F.greatest(F.size("_arr") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(
+                    x["key"].alias("key_a"),
+                    y["key"].alias("key_b"),
+                    x["v"].alias("v_a"),
+                    y["v"].alias("v_b"),
+                ),
+            ),
+        )
     )
-    right = b.select(
-        F.col("key").alias("key_b"), "bucket_ts", F.col("v").alias("v_b")
-    )
-    pairs = left.join(right, on="bucket_ts").filter(
-        F.col("key_a") < F.col("key_b")
+    pairs = (
+        buckets.select(F.explode(pair_expr).alias("_p"))
+        .select("_p.key_a", "_p.key_b", "_p.v_a", "_p.v_b")
     )
     # covar/(sd*sd) with a nullif guard instead of F.corr: under ANSI
     # mode (Spark 4 default) corr on a zero-variance pair raises
