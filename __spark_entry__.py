@@ -637,6 +637,93 @@ FROM walls
 """
 
 
+def _q_asof_interpolate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolating as-of join (tick-data "interpolated quote"): odd-
+    second events take the value linearly interpolated between the
+    nearest even-second readings on either side. Oracle = TWO native
+    DuckDB ASOF joins (backward >= and forward <=) + the same closed
+    interpolation formula — a genuinely different plan that must agree
+    row-for-row, nulls included (sentinel-coalesced)."""
+    from tsclust_spark.operators.asof import asof_join_interpolate
+
+    base = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 30)
+        .select(F.col("user_id").alias("doc_id"), "ts", "value")
+    )
+    parity = F.pmod(F.unix_timestamp("ts"), F.lit(2))
+    left = (
+        base.filter(parity == 1)
+        .groupBy("doc_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    right = (
+        base.filter(parity == 0)
+        .groupBy("doc_id", "ts")
+        .agg(F.max("value").alias("rv"))
+    )
+    out = asof_join_interpolate(
+        left, right, key_col="doc_id", ts_col="ts", right_value_col="rv"
+    )
+    sent_ts = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    return out.select(
+        "doc_id",
+        "ts",
+        _sround("value", 6).alias("value"),
+        F.coalesce(_sround("prev_value", 6), F.lit(-999999.0)).alias("prev_value"),
+        F.coalesce(F.col("prev_ts"), sent_ts).alias("prev_ts"),
+        F.coalesce(_sround("next_value", 6), F.lit(-999999.0)).alias("next_value"),
+        F.coalesce(F.col("next_ts"), sent_ts).alias("next_ts"),
+        F.coalesce(_sround("asof_value", 6), F.lit(-999999.0)).alias("asof_value"),
+    )
+
+
+_SQL_ASOF_INTERPOLATE_EVENTS = f"""
+WITH base AS (
+  SELECT user_id AS doc_id, ts, value FROM events WHERE user_id <= 30
+),
+l AS (
+  SELECT doc_id, ts, max(value) AS value FROM base
+  WHERE CAST(floor(epoch(ts)) AS BIGINT) % 2 = 1 GROUP BY 1, 2
+),
+r AS (
+  SELECT doc_id, ts, max(value) AS rv FROM base
+  WHERE CAST(floor(epoch(ts)) AS BIGINT) % 2 = 0 GROUP BY 1, 2
+),
+b AS (
+  SELECT l.doc_id, l.ts, l.value, r.rv AS prev_value, r.ts AS prev_ts
+  FROM l ASOF LEFT JOIN r ON l.doc_id = r.doc_id AND l.ts >= r.ts
+),
+f AS (
+  SELECT l.doc_id, l.ts, r.rv AS next_value, r.ts AS next_ts
+  FROM l ASOF LEFT JOIN r ON l.doc_id = r.doc_id AND l.ts <= r.ts
+),
+j AS (
+  SELECT b.doc_id, b.ts, b.value, b.prev_value, b.prev_ts,
+         f.next_value, f.next_ts,
+         CASE
+           WHEN b.prev_value IS NULL AND f.next_value IS NULL THEN NULL
+           WHEN b.prev_value IS NULL THEN f.next_value
+           WHEN f.next_value IS NULL
+                OR epoch_us(f.next_ts) = epoch_us(b.prev_ts)
+             THEN b.prev_value
+           ELSE b.prev_value + (f.next_value - b.prev_value)
+                * ((epoch_us(b.ts) - epoch_us(b.prev_ts)) * 1.0
+                   / (epoch_us(f.next_ts) - epoch_us(b.prev_ts)))
+         END AS asof_value
+  FROM b JOIN f ON b.doc_id = f.doc_id AND b.ts = f.ts
+)
+SELECT doc_id, ts,
+       {_sql_round('value', 6)} AS value,
+       coalesce({_sql_round('prev_value', 6)}, -999999.0) AS prev_value,
+       coalesce(prev_ts, TIMESTAMP '1970-01-01 00:00:00') AS prev_ts,
+       coalesce({_sql_round('next_value', 6)}, -999999.0) AS next_value,
+       coalesce(next_ts, TIMESTAMP '1970-01-01 00:00:00') AS next_ts,
+       coalesce({_sql_round('asof_value', 6)}, -999999.0) AS asof_value
+FROM j
+"""
+
+
 def _q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: odd-second events enriched with the latest
     even-second reading at-or-before each timestamp, per user. Oracle is
@@ -2155,6 +2242,60 @@ def _q_sax_words_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_psi_view_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift (PSI) between two corpus slices: fixed-bin
+    proportions compared bin-aligned — two n_bins-row aggregates plus a
+    broadcast join, metadata-scale after the scans."""
+    from tsclust_spark.operators.drift import population_stability
+
+    ev = _load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("value")
+    b = ev.filter(F.col("event_type") == "purchase").select("value")
+    out = population_stability(a, b, lo=0.0, hi=500.0, n_bins=20)
+    return out.select(
+        "bin",
+        "n_a",
+        "n_b",
+        _sround("p_a", 6).alias("p_a"),
+        _sround("p_b", 6).alias("p_b"),
+        _sround("psi_bin", 6).alias("psi_bin"),
+    )
+
+
+_SQL_PSI_VIEW_VS_PURCHASE = f"""
+WITH bins AS (SELECT CAST(unnest(range(20)) AS INT) AS bin),
+a AS (
+  SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 19) AS INT) AS bin,
+         count(*) AS n_a
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+b AS (
+  SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 19) AS INT) AS bin,
+         count(*) AS n_b
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT count(*) FROM events WHERE event_type = 'view') AS ta,
+         (SELECT count(*) FROM events WHERE event_type = 'purchase') AS tb
+),
+j AS (
+  SELECT bins.bin,
+         coalesce(a.n_a, 0) AS n_a,
+         coalesce(b.n_b, 0) AS n_b,
+         coalesce(a.n_a, 0) * 1.0 / greatest(tot.ta, 1) + 1e-6 AS p_a,
+         coalesce(b.n_b, 0) * 1.0 / greatest(tot.tb, 1) + 1e-6 AS p_b
+  FROM bins LEFT JOIN a ON bins.bin = a.bin
+            LEFT JOIN b ON bins.bin = b.bin
+            CROSS JOIN tot
+)
+SELECT bin, n_a, n_b,
+       {_sql_round('p_a', 6)} AS p_a,
+       {_sql_round('p_b', 6)} AS p_b,
+       {_sql_round('(p_a - p_b) * (ln(p_a) - ln(p_b))', 6)} AS psi_bin
+FROM j
+"""
+
+
 def _q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA recurrence (alpha=0.3) per user series via one
     applyInPandas pass; the oracle is a recursive CTE stepping the SAME
@@ -2523,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "znorm_events": _q_znorm_events,
         "paa_events": _q_paa_events,
         "sax_words_events": _q_sax_words_events,
+        "psi_view_vs_purchase": _q_psi_view_vs_purchase,
         "ewma_events": _q_ewma_events,
         "tfidf_top3": _q_tfidf_top3,
         "rolling_stats_10m": _q_rolling_stats_10m,
@@ -2571,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": _q_gapfill_locf,
         "gapfill_linear": _q_gapfill_linear,
         "asof_join_events": _q_asof_join_events,
+        "asof_interpolate_events": _q_asof_interpolate_events,
         "asof_join_bucketed": _q_asof_join_bucketed,
         "session_stats": _q_session_stats,
         "session_stats_bucketed": _q_session_stats_bucketed,
@@ -2596,6 +2739,7 @@ def oracle_sql() -> dict[str, str]:
         "znorm_events": _SQL_ZNORM_EVENTS,
         "paa_events": _SQL_PAA_EVENTS,
         "sax_words_events": _make_sql_sax_words(8, 4),
+        "psi_view_vs_purchase": _SQL_PSI_VIEW_VS_PURCHASE,
         "ewma_events": _SQL_EWMA_EVENTS,
         "tfidf_top3": _SQL_TFIDF_TOP3,
         "rolling_stats_10m": _SQL_ROLLING_STATS_10M,
@@ -2644,6 +2788,7 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_locf": _SQL_GAPFILL_LOCF,
         "gapfill_linear": _SQL_GAPFILL_LINEAR,
         "asof_join_events": _SQL_ASOF_JOIN,
+        "asof_interpolate_events": _SQL_ASOF_INTERPOLATE_EVENTS,
         "asof_join_bucketed": _SQL_ASOF_JOIN,
         "session_stats": _SQL_SESSION_STATS,
         "session_stats_bucketed": _SQL_SESSION_STATS,

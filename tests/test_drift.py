@@ -1,0 +1,56 @@
+"""PSI drift detection vs a numpy oracle; identical slices give ~0."""
+
+import math
+
+import numpy as np
+import pytest
+
+from tsclust_spark.operators.drift import population_stability
+
+RNG = np.random.default_rng(41)
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(float(v),) for v in vals], "value double")
+
+
+def test_psi_matches_numpy(spark):
+    a = RNG.normal(0.4, 0.15, 600)
+    b = RNG.normal(0.6, 0.2, 500)  # shifted -> high PSI
+    out = population_stability(
+        _df(spark, a), _df(spark, b), lo=0.0, hi=1.0, n_bins=10
+    ).collect()
+    assert len(out) == 10
+    eps = 1e-6
+
+    def clamp_bin(v):
+        return min(max(int(math.floor((v - 0.0) / 0.1)), 0), 9)
+
+    na = np.bincount([clamp_bin(v) for v in a], minlength=10)
+    nb = np.bincount([clamp_bin(v) for v in b], minlength=10)
+    pa = na / len(a) + eps
+    pb = nb / len(b) + eps
+    psi = (pa - pb) * (np.log(pa) - np.log(pb))
+    got = {r["bin"]: r for r in out}
+    for i in range(10):
+        assert got[i]["n_a"] == na[i] and got[i]["n_b"] == nb[i]
+        assert got[i]["psi_bin"] == pytest.approx(psi[i], rel=1e-9)
+    assert sum(r["psi_bin"] for r in out) > 0.25  # clear drift
+
+
+def test_psi_identical_slices_near_zero(spark):
+    a = RNG.uniform(0, 1, 400)
+    df = _df(spark, a)
+    out = population_stability(df, df, n_bins=8).collect()
+    assert len(out) == 8
+    assert sum(abs(r["psi_bin"]) for r in out) < 1e-12
+
+
+def test_psi_out_of_range_clamped(spark):
+    out = population_stability(
+        _df(spark, [-5.0, 0.5, 99.0]), _df(spark, [0.5]), n_bins=4
+    ).collect()
+    got = {r["bin"]: (r["n_a"], r["n_b"]) for r in out}
+    assert got[0] == (1, 0)  # -5 clamped into first bin
+    assert got[3] == (1, 0)  # 99 clamped into last bin
+    assert got[2] == (1, 1)  # 0.5 in bin 2 of [0,1)x4

@@ -171,6 +171,12 @@ NOTES = {
         "expression over one split of the text — a single map-side "
         "Project over the scan, zero Exchange, zero Python."
     ),
+    "psi_view_vs_purchase": (
+        "PSI drift: each slice reduces to an n_bins-row count table "
+        "(partial+final agg over the pushed-filter scan), then the "
+        "bin-align join is explicitly broadcast — everything after the "
+        "scans is metadata-scale."
+    ),
     "rolling_stats_10m": (
         "Trailing RANGE-frame rolling stats: one Exchange on the "
         "series key, then a single sorted WindowExec evaluates all "

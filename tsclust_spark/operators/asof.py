@@ -289,3 +289,101 @@ def session_stats(
             F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
         ).alias("duration_sec"),
     )
+
+
+def asof_join_interpolate(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "doc_id",
+    ts_col: str = "ts",
+    right_value_col: str = "value",
+) -> DataFrame:
+    """Left rows + the right value LINEARLY INTERPOLATED between the
+    nearest right rows at-or-before and at-or-after each left ts (the
+    tick-data "interpolated quote" variant of the as-of join; the plain
+    join is the "prevailing quote").
+
+    Same union-tag single-Exchange shape as :func:`asof_join`, with a
+    second in-partition sort for the forward pass (both windows share
+    the one hash partitioning on the key; no extra shuffle).  Edge
+    semantics: only-one-side rows take that side's value verbatim; an
+    exact-ts right match (or equal prev/next ts) takes the backward
+    value; equal-(key, ts) right duplicates resolve to the greatest
+    value on BOTH sides, keeping the result deterministic.
+
+    Output: left's columns + ``prev_value prev_ts next_value next_ts
+    asof_value``.
+    """
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *left_cols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[right_value_col].dataType).alias("_rv"),
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("_rts"),
+    )
+    r = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c not in (key_col, ts_col)
+        ],
+        F.lit(0).alias("_side"),
+        F.col(right_value_col).alias("_rv"),
+        F.col(ts_col).alias("_rts"),
+    ).select(*left_cols, "_side", "_rv", "_rts")
+    merged = l.unionByName(r)
+
+    # backward: right rows sort BEFORE left at equal ts -> exact match
+    # visible; greatest _rv wins ties (as in asof_join)
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_rv").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # forward: left rows sort BEFORE right at equal ts -> the following
+    # frame starting at a left row sees a same-ts right row; _rv desc +
+    # first() makes the greatest value win ties, mirroring backward
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").desc(), F.col("_rv").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    right_row = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col("_rv").alias("rv"), F.col("_rts").alias("rts")),
+    )
+    base = (
+        merged.withColumn("_r", right_row)
+        .withColumn("_prev", F.last("_r", ignorenulls=True).over(wb))
+        .withColumn("_next", F.first("_r", ignorenulls=True).over(wf))
+        .filter(F.col("_side") == 1)
+    )
+    pv, pt = F.col("_prev.rv"), F.col("_prev.rts")
+    nv, nt = F.col("_next.rv"), F.col("_next.rts")
+
+    def _us(c):
+        # unix_micros requires TIMESTAMP; parquet sources arrive as
+        # TIMESTAMP_NTZ — the cast interprets in the session zone (the
+        # engine pins UTC), identically for all three columns
+        return F.unix_micros(c.cast("timestamp"))
+
+    frac = (
+        (_us(F.col(ts_col)) - _us(pt)).cast("double")
+        / (_us(nt) - _us(pt)).cast("double")
+    )
+    interp = (
+        F.when(pv.isNull() & nv.isNull(), F.lit(None).cast("double"))
+        .when(pv.isNull(), nv.cast("double"))
+        .when(nv.isNull() | (_us(nt) == _us(pt)), pv.cast("double"))
+        .otherwise(pv.cast("double") + (nv.cast("double") - pv.cast("double")) * frac)
+    )
+    return (
+        base.withColumn("prev_value", pv)
+        .withColumn("prev_ts", pt)
+        .withColumn("next_value", nv)
+        .withColumn("next_ts", nt)
+        .withColumn("asof_value", interp)
+        .drop("_side", "_rv", "_rts", "_r", "_prev", "_next")
+    )

@@ -1,0 +1,78 @@
+"""Distribution drift between two data slices: fixed-bin PSI.
+
+Population Stability Index is the standard snapshot-vs-snapshot drift
+check in training-data pipelines (did this week's corpus shift against
+last week's?): bin both slices on the SAME fixed edges, then
+``PSI = sum_i (p_i - q_i) * ln(p_i / q_i)`` with epsilon-smoothed
+proportions.  Rule of thumb: < 0.1 stable, 0.1-0.25 moderate shift,
+> 0.25 action.
+
+Plan shape: one partial+final hash aggregate per slice over the binned
+column (two Exchanges total, each carrying n_bins rows per partial),
+then a bin-aligned join of two n_bins-row tables — metadata-scale.
+Binning is the closed form ``clamp(floor((v - lo) / width))`` computed
+identically on any engine, so bin membership is deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bin_expr(value_col: str, lo: float, hi: float, n_bins: int):
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+
+
+def _bin_counts(df: DataFrame, value_col, lo, hi, n_bins, name):
+    return (
+        df.select(_bin_expr(value_col, lo, hi, n_bins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias(name))
+    )
+
+
+def population_stability(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-bin PSI contributions between slice a (reference) and slice b
+    (current).
+
+    Output: ``(bin, n_a, n_b, p_a, p_b, psi_bin)`` for ALL n_bins bins
+    (empty bins appear with zero counts — the epsilon keeps their
+    contribution finite and the bin list engine-independent).  Total
+    PSI = ``sum(psi_bin)``.
+    """
+    spark = df_a.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    a = _bin_counts(df_a, value_col, lo, hi, n_bins, "n_a")
+    b = _bin_counts(df_b, value_col, lo, hi, n_bins, "n_b")
+    j = (
+        bins.join(F.broadcast(a), on="bin", how="left")
+        .join(F.broadcast(b), on="bin", how="left")
+        .fillna(0, subset=["n_a", "n_b"])
+    )
+    tot = j.select(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    ).collect()[0]
+    ta, tb = max(int(tot["ta"]), 1), max(int(tot["tb"]), 1)
+    p_a = F.col("n_a").cast("double") / F.lit(float(ta)) + F.lit(eps)
+    p_b = F.col("n_b").cast("double") / F.lit(float(tb)) + F.lit(eps)
+    return j.select(
+        "bin",
+        "n_a",
+        "n_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        ((p_a - p_b) * (F.log(p_a) - F.log(p_b))).alias("psi_bin"),
+    )
