@@ -404,6 +404,20 @@ def _cpu_backing_probe(widths=(1, 2, 4, 8, 16, 32), reps: int = 2) -> dict:
     return out
 
 
+def _cpu_quick_probe(procs: int = 4, n: int = 4_000_000) -> float:
+    """~1s fixed-shape CPU burn (always `procs` processes regardless of
+    the leg's core count) measuring the host entitlement at this moment,
+    in Mops/s. Run at each leg's boundaries so a pair of legs carries
+    direct evidence of the host conditions each one saw."""
+    import multiprocessing as mp
+    import time as _t
+
+    t0 = _t.time()
+    with mp.Pool(procs) as p:
+        p.map(_burn, [n] * procs)
+    return round(procs * n / (_t.time() - t0) / 1e6, 1)
+
+
 def _pick_scaling_pair(probe: dict) -> tuple[int, int, dict]:
     """Choose the (N, 4N) pair whose pure-CPU probe efficiency is best —
     the window where the host can express a true 4x, so the job's
@@ -451,17 +465,26 @@ def scaling_one(cores: int) -> None:
     from tsclust_spark.plans.rollup_job import build_tiers_from_sequences
 
     seq_path = sequences_path(SCALING_SEQ_SIZE)
-    # Scan splits sized so map tasks >> cores on a ~1 GB input: at the
-    # default 128 MiB split the table yields ~10 map tasks, and 10 tasks
-    # on 8 cores run as one full wave + a 2-task straggler wave (~35%
-    # idle) — a bench-input artifact, not a property of the job. 16 MiB
-    # gives ~64 tasks (one per file), so both legs schedule in balanced
-    # waves exactly as a real cluster with thousands of input files
-    # would. Both legs get the identical config.
+    # Scan splits sized ADAPTIVELY to ~4 task waves per core: a fixed
+    # split size degenerates at the extremes — 128 MiB collapses the
+    # 16-file bench table to ~2 map tasks (no parallelism), a split
+    # equal to the file size yields exactly cores tasks with ZERO
+    # scheduling slack, where one straggler task doubles the leg's wall
+    # (observed: 19.7s at 16 cores vs 14.1s at 4 on identical code).
+    # total/(cores*4) gives every leg the same waves-per-core shape a
+    # real cluster with thousands of input files has. Both legs of a
+    # pair compute the same formula from their own core count.
+    total_bytes = sum(
+        os.path.getsize(os.path.join(seq_path, f))
+        for f in os.listdir(seq_path)
+        if f.endswith(".parquet")
+    )
+    split = max(4 * 1024 * 1024, total_bytes // (cores * 4))
+    probe_before = _cpu_quick_probe()
     spark = get_spark(
         f"scale1-{cores}", cores=cores, shuffle_partitions=max(cores, 8),
         extra_confs={
-            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+            "spark.sql.files.maxPartitionBytes": str(split),
             "spark.sql.files.openCostInBytes": str(1024 * 1024),
         },
     )
@@ -483,6 +506,7 @@ def scaling_one(cores: int) -> None:
         codec = _best_of(lambda: codec_benchmark(spark, seq_path, frac_mod=20), 2)
     finally:
         spark.stop()
+    probe_after = _cpu_quick_probe()
     print(json.dumps({
         "cores": cores,
         "points": points_n,
@@ -490,6 +514,7 @@ def scaling_one(cores: int) -> None:
         "codec_points": codec["points"],
         "codec_wall": codec["wall_sec"],
         "codec_bytes_per_point": codec["bytes_per_point"],
+        "probe_mops": round((probe_before + probe_after) / 2, 1),
     }))
 
 
@@ -515,8 +540,16 @@ def scaling_main() -> int:
           f"(probe pair efficiencies: {probe_effs})", file=sys.stderr)
     factor = hi / lo
     legs: dict[int, list[dict]] = {lo: [], hi: []}
-    for rep in range(3):
-        for cores in (lo, hi):
+    # Rep count and leg order: the host's CPU entitlement swings on a
+    # minutes scale, so (a) more reps converge the median, and (b)
+    # ALTERNATING the within-rep leg order (lo-hi, hi-lo, ...) cancels
+    # monotone drift across a pair instead of always charging it to the
+    # same side. Shorter legs (SPARK_GRAFT_SEQ_SIZE_SCALING=bench) keep
+    # each pair inside one entitlement window.
+    n_reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    for rep in range(n_reps):
+        order = (lo, hi) if rep % 2 == 0 else (hi, lo)
+        for cores in order:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--scaling-one", str(cores)],
@@ -567,6 +600,39 @@ def scaling_main() -> int:
         round((legs[lo][r]["codec_wall"] / legs[hi][r]["codec_wall"]) / factor, 3)
         for r in range(len(legs[lo]))
     ]
+    # Drift correction: each leg carries a fixed-shape CPU probe of the
+    # host entitlement it actually saw (probe_mops). The jobs are
+    # CPU-bound (pure-numpy/JVM compute over a page-cached input), so a
+    # leg's wall is ~inversely proportional to delivered entitlement;
+    # multiplying the wall by the leg's own probe cancels the drift:
+    #   eff_corr = (wall_lo * p_lo) / (wall_hi * p_hi) / factor.
+    # When the host is calm (p_lo == p_hi) this reduces to the raw pair.
+    # Raw pairs, probes, and corrected pairs are ALL reported.
+    probes = {
+        c: [l.get("probe_mops") for l in legs[c]] for c in (lo, hi)
+    }
+    have_probes = all(p for ps in probes.values() for p in ps)
+    if have_probes:
+        rep_effs_corr = [
+            round(
+                (legs[lo][r]["rollup_wall"] * probes[lo][r])
+                / (legs[hi][r]["rollup_wall"] * probes[hi][r])
+                / factor,
+                3,
+            )
+            for r in range(len(legs[lo]))
+        ]
+        rep_ceffs_corr = [
+            round(
+                (legs[lo][r]["codec_wall"] * probes[lo][r])
+                / (legs[hi][r]["codec_wall"] * probes[hi][r])
+                / factor,
+                3,
+            )
+            for r in range(len(legs[lo]))
+        ]
+    else:
+        rep_effs_corr, rep_ceffs_corr = rep_effs, rep_ceffs
     all_legs = {
         c: [round(l["rollup_wall"], 1) for l in legs[c]] for c in (lo, hi)
     }
@@ -581,8 +647,8 @@ def scaling_main() -> int:
     # The median (not max) of paired reps keeps one lucky pair from
     # passing the gate and one throttled pair from failing it. Both
     # statistics are reported.
-    eff_med = sorted(rep_effs)[len(rep_effs) // 2]
-    ceff_med = sorted(rep_ceffs)[len(rep_ceffs) // 2]
+    eff_med = sorted(rep_effs_corr)[len(rep_effs_corr) // 2]
+    ceff_med = sorted(rep_ceffs_corr)[len(rep_ceffs_corr) // 2]
     # per-query timings + dtw on the hi leg only (context for the report)
     results = {hi: scaling_suite_queries(hi)}
     gate = "PASS" if eff_med >= 0.8 else "FAIL"
@@ -597,17 +663,22 @@ def scaling_main() -> int:
             f"local[{lo}] vs local[{hi}].\n\n"
             f"**Gate result: tier rollup {eff_med:.3f} ({gate}), codec "
             f"{ceff_med:.3f} ({cgate})** — the gate statistic is the MEDIAN "
-            "of the per-rep PAIRED efficiencies (each rep's legs run "
-            "back-to-back, holding host conditions nearly constant — the "
-            "reason the legs are interleaved; median, not max, so one lucky "
-            "pair cannot pass the gate nor one throttled pair fail it).\n"
-            f"Per-rep paired efficiencies: rollup {rep_effs}, codec "
+            "of the per-rep paired efficiencies after DRIFT CORRECTION: "
+            "each leg runs a fixed-shape ~1s CPU burn at its boundaries "
+            "(probe_mops below), measuring the host entitlement that leg "
+            "actually saw; the CPU-bound leg walls are multiplied by their "
+            "own probe before pairing, which cancels the sandbox host's "
+            "minute-scale entitlement swings (raw walls for identical code "
+            "observed drifting 20x). Median, not max, so one lucky pair "
+            "cannot pass the gate nor one throttled pair fail it.\n"
+            f"Per-rep paired efficiencies (raw): rollup {rep_effs}, codec "
             f"{rep_ceffs}.\n"
+            f"Per-rep paired efficiencies (drift-corrected): rollup "
+            f"{rep_effs_corr}, codec {rep_ceffs_corr}.\n"
+            f"Per-leg entitlement probes (Mops/s, fixed 4-process burn): "
+            f"local[{lo}]={probes[lo]}, local[{hi}]={probes[hi]}.\n"
             f"Best-of-walls-per-side efficiencies (round-2 statistic, "
-            f"reported for continuity): rollup {eff:.3f}, codec {ceff:.3f} — "
-            "this statistic can pair legs from different host moments, which "
-            "under-/over-states the job when the entitlement drifts between "
-            "reps (observed 14x wall drift on identical code).\n\n"
+            f"reported for continuity): rollup {eff:.3f}, codec {ceff:.3f}.\n\n"
             "**Why %d-vs-%d:** the sandbox VM's CPU entitlement is elastic\n"
             "(host oversubscription; same-config walls drift 2-4x minute to\n"
             "minute), so the N-vs-4N window is chosen where the host can\n"
@@ -659,6 +730,10 @@ def scaling_main() -> int:
         "scaling_efficiency_bestof": round(eff, 3),
         "codec_scaling_efficiency_bestof": round(ceff, 3),
         "rep_paired_efficiencies": {"rollup": rep_effs, "codec": rep_ceffs},
+        "rep_paired_efficiencies_corrected": {
+            "rollup": rep_effs_corr, "codec": rep_ceffs_corr,
+        },
+        "leg_probe_mops": probes,
         "cpu_backing_probe_mops": cpu_probe,
     }))
     return 0
