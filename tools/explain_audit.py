@@ -171,6 +171,18 @@ NOTES = {
         "expression over one split of the text — a single map-side "
         "Project over the scan, zero Exchange, zero Python."
     ),
+    "tfidf_top3": (
+        "TF-IDF: document frequency is a window count over the token "
+        "partition of the single tf table — no join, no second "
+        "aggregation of the exploded corpus; the per-doc top-k is a "
+        "bounded row_number window."
+    ),
+    "asof_interpolate_events": (
+        "Interpolating as-of join: the union-tag table is exchanged "
+        "ONCE on the key; backward and forward passes are two "
+        "in-partition sorts (two WindowExecs, zero extra Exchange), "
+        "and the interpolation itself is a scalar Project."
+    ),
     "psi_view_vs_purchase": (
         "PSI drift: each slice reduces to an n_bins-row count table "
         "(partial+final agg over the pushed-filter scan), then the "

@@ -51,9 +51,13 @@ def tfidf_top_terms(
     tf = toks.groupBy(id_col, "_len", "token").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    dfreq = tf.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    # document frequency as a window count over the token partition:
+    # tf is unique per (doc, token), so count-per-token IS df. A
+    # groupBy+join would re-aggregate the tf subplan from the scan
+    # (Spark computes a twice-referenced DataFrame twice) and shuffle a
+    # second time; the window reuses the single tf table with one
+    # Exchange on the token.
+    dfw = Window.partitionBy("token")
     s = float(10**quantize_digits)
     raw = (
         F.col("tf").cast("double") / F.col("_len")
@@ -62,9 +66,9 @@ def tfidf_top_terms(
             + F.lit(1.0)
         )
     )
-    scored = tf.join(dfreq, on="token").withColumn(
-        "tfidf", F.floor(raw * s + F.lit(0.5)) / F.lit(s)
-    )
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(dfw)
+    ).withColumn("tfidf", F.floor(raw * s + F.lit(0.5)) / F.lit(s))
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("token").asc()
     )
