@@ -2275,8 +2275,12 @@ b AS (
   FROM events WHERE event_type = 'purchase' GROUP BY 1
 ),
 tot AS (
-  SELECT (SELECT count(*) FROM events WHERE event_type = 'view') AS ta,
-         (SELECT count(*) FROM events WHERE event_type = 'purchase') AS tb
+  -- non-NULL values only: identical to the Spark side's
+  -- sum-of-binned-counts totals (NULL rows are in neither definition)
+  SELECT (SELECT count(*) FROM events
+          WHERE event_type = 'view' AND value IS NOT NULL) AS ta,
+         (SELECT count(*) FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL) AS tb
 ),
 j AS (
   SELECT bins.bin,
@@ -2310,7 +2314,7 @@ def _q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") <= 10)
         .select("user_id", "event_id", "ts", "value")
     )
-    out = ewma(ev, alpha=0.3)
+    out = ewma(ev, alpha=0.3, tiebreak_col="event_id")
     return out.select(
         "user_id", "event_id", _sround("ewma_value", 6).alias("ewma_value")
     )
@@ -2504,7 +2508,7 @@ WITH w AS (
 m AS (
   SELECT doc_id,
     len(words) AS n_words,
-    list_sum(list_transform(words, x -> len(x))) * 1.0
+    coalesce(list_sum(list_transform(words, x -> len(x))), 0) * 1.0
       / greatest(len(words), 1) AS mwl,
     len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) * 1.0
       / greatest(len(words), 1) AS alpha_frac,

@@ -46,6 +46,25 @@ def test_psi_identical_slices_near_zero(spark):
     assert sum(abs(r["psi_bin"]) for r in out) < 1e-12
 
 
+def test_psi_null_values_excluded_from_totals(spark):
+    """NULL values must be excluded from both the bin counts AND the
+    slice totals (ADVICE r3: they previously fell out of the join but a
+    count(*)-style total would still have counted them)."""
+    a = spark.createDataFrame(
+        [(0.1,), (0.1,), (None,), (None,)], "value double"
+    )
+    b = spark.createDataFrame([(0.1,), (0.9,)], "value double")
+    out = {
+        r["bin"]: r
+        for r in population_stability(a, b, n_bins=2).collect()
+    }
+    # totals are non-NULL counts: ta=2, tb=2 -> p_a(bin0) = 2/2 + eps
+    assert out[0]["n_a"] == 2 and out[0]["n_b"] == 1
+    assert out[0]["p_a"] == pytest.approx(1.0 + 1e-6, abs=1e-12)
+    assert out[0]["p_b"] == pytest.approx(0.5 + 1e-6, abs=1e-12)
+    assert out[1]["n_a"] == 0 and out[1]["n_b"] == 1
+
+
 def test_psi_out_of_range_clamped(spark):
     out = population_stability(
         _df(spark, [-5.0, 0.5, 99.0]), _df(spark, [0.5]), n_bins=4

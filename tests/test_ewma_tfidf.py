@@ -47,6 +47,93 @@ def test_ewma_alpha_one_is_identity(spark):
         ewma(df, alpha=0.0)
 
 
+def test_ewma_lockstep_bit_equals_scalar():
+    """The cross-series lockstep kernel must be BIT-identical to the
+    per-point scalar recurrence (same IEEE ops elementwise)."""
+    from tsclust_spark.operators.ewma import _ewma_lockstep, _ewma_scalar
+
+    rng = np.random.default_rng(7)
+    for alpha in (0.3, 0.05, 1.0, 0.731):
+        lens = rng.integers(1, 40, size=30)
+        lens[0] = 1  # a singleton series
+        lens[5] = 500  # one long series dominating max_len
+        x = rng.normal(scale=100.0, size=int(lens.sum()))
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        got = _ewma_lockstep(x, starts, alpha)
+        bounds = np.append(starts, x.size)
+        for i in range(lens.size):
+            seg = x[bounds[i] : bounds[i + 1]]
+            exact = _ewma_scalar(seg, alpha)
+            assert np.array_equal(
+                got[bounds[i] : bounds[i + 1]], exact
+            ), f"alpha={alpha} series={i} not bit-equal"
+
+
+def test_ewma_lockstep_carry_split():
+    """Splitting one series across two lockstep calls with the carry
+    must reproduce the unsplit recurrence bit-exactly (the mapInPandas
+    cross-batch path)."""
+    from tsclust_spark.operators.ewma import _ewma_lockstep, _ewma_scalar
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=97)
+    full = _ewma_scalar(x, 0.3)
+    for cut in (1, 2, 50, 96):
+        y1 = _ewma_lockstep(x[:cut], np.array([0]), 0.3)
+        y2 = _ewma_lockstep(
+            x[cut:], np.array([0]), 0.3, carry=float(y1[-1])
+        )
+        assert np.array_equal(np.concatenate([y1, y2]), full)
+
+
+def test_ewma_duplicate_ts_tiebreak(spark):
+    """Duplicate (key, ts) rows: with a tiebreak column the recurrence
+    order is the (ts, tiebreak) total order, independent of shuffle
+    arrival (ADVICE r3)."""
+    ts = T0
+    rows = [(1, i, ts, float(v)) for i, v in enumerate([5.0, -3.0, 7.0, 1.0])]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id long, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: r["ewma_value"]
+        for r in ewma(df, alpha=0.3, tiebreak_col="event_id").collect()
+    }
+    y = 5.0
+    expect = {0: y}
+    for i, v in enumerate([-3.0, 7.0, 1.0], start=1):
+        y = 0.7 * y + 0.3 * v
+        expect[i] = y
+    assert out == expect
+
+
+def test_ewma_cross_batch_carry(spark):
+    """Force tiny Arrow batches so one series spans many mapInPandas
+    batches — the carry must stitch them bit-exactly."""
+    from tsclust_spark.operators.ewma import _ewma_scalar
+
+    vals = RNG.normal(size=53)
+    rows = [
+        (9, i, T0 + dt.timedelta(seconds=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id long, ts timestamp, value double"
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        out = ewma(df, alpha=0.3, tiebreak_col="event_id").collect()
+    finally:
+        spark.conf.set(key, old)
+    got = {r["event_id"]: r["ewma_value"] for r in out}
+    exact = _ewma_scalar(np.asarray(vals, dtype=np.float64), 0.3)
+    assert len(got) == 53
+    for i in range(53):
+        assert got[i] == exact[i], f"row {i} not bit-equal across batches"
+
+
 def test_tfidf_hand_oracle(spark):
     docs = [
         ("d1", "apple banana apple cherry"),

@@ -29,8 +29,14 @@ def _bin_expr(value_col: str, lo: float, hi: float, n_bins: int):
 
 
 def _bin_counts(df: DataFrame, value_col, lo, hi, n_bins, name):
+    # NULL values are excluded EXPLICITLY so the slice totals (computed
+    # as the sum of binned counts) are defined identically to any SQL
+    # twin counting non-NULL values — without the filter a NULL row
+    # silently fell out of the bin join but could be counted by a
+    # count(*)-style total on another engine (ADVICE r3).
     return (
-        df.select(_bin_expr(value_col, lo, hi, n_bins).alias("bin"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(_bin_expr(value_col, lo, hi, n_bins).alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias(name))
     )

@@ -2,23 +2,130 @@
 
 EWMA is a sequential recurrence (y_i = (1-a)*y_{i-1} + a*x_i, seeded
 y_0 = x_0), so unlike the RANGE-frame rolling stats it cannot be a SQL
-window aggregate; the engine runs it as one Arrow-batched
-``applyInPandas`` pass per series — a single Exchange on the key, then
-a vectorized ``pandas.ewm`` recurrence per group, no per-row Python.
+window aggregate.  The engine runs it as one hash Exchange on the key
+(``repartition(key)``) + ``sortWithinPartitions(key, ts, tiebreak)`` +
+a single ``mapInPandas`` pass whose kernel is vectorized ACROSS series
+(:func:`_ewma_lockstep`): the inherently sequential time loop advances
+all series in the batch one step per iteration with elementwise numpy
+ops, so the Python interpreter cost is paid per TIME STEP per batch,
+not per point.  At the 100-TB shape (millions of modest-length series
+per batch) that is the difference between interpreter speed and
+Arrow/numpy speed; elementwise numpy ops execute the exact same IEEE
+multiply/add per element as the scalar loop, so results are
+bit-identical (asserted in tests/test_ewma_tfidf.py).
 
-Scale note: per-series state is one float, but a single series'
-timeline is processed sequentially within its group (inherent to the
-recurrence).  For a hot key at 100-TB scale, chunk the timeline into
-time buckets, compute per-chunk partial sums, and stitch with the
-carry ``y_end(c) = (1-a)^len(c) * y_end(c-1) + local(c)`` — the stitch
-input is one summary row per chunk (metadata-scale).  The unsplit
-operator here is correct for keys whose history fits a task.
+Determinism: the recurrence order is the sort order.  ``tiebreak_col``
+(ADVICE r3) totalizes the order for duplicate (key, ts) rows so the
+result cannot depend on shuffle arrival; callers gated against an
+ORDER BY (ts, id) oracle must pass the same id column.
+
+Scale note: a single series' timeline is still processed sequentially
+within its task (inherent to the recurrence).  For one pathologically
+hot key, chunk the timeline into time buckets, compute per-chunk
+partials, and stitch with the carry ``y_end(c) = (1-a)^len(c) *
+y_end(c-1) + local(c)`` — one summary row per chunk, metadata-scale.
+The unsplit operator here is correct for keys whose history fits a
+task; the cross-batch carry below already streams a long key through
+successive Arrow batches with O(1) state.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _ewma_scalar(x: np.ndarray, alpha: float) -> np.ndarray:
+    """Reference kernel: the literal per-point recurrence.
+
+    Kept as the bit-exactness oracle for :func:`_ewma_lockstep` (and
+    for the recursive-CTE SQL twin, which steps the same IEEE ops:
+    y = beta*y_prev + alpha*x, seeded y_0 = x_0).  Not the hot path.
+    """
+    beta = 1.0 - alpha
+    y = np.empty_like(x, dtype=np.float64)
+    if x.size:
+        acc = x[0]
+        y[0] = acc
+        for i in range(1, x.size):
+            acc = beta * acc + alpha * x[i]
+            y[i] = acc
+    return y
+
+
+def _ewma_lockstep(
+    x: np.ndarray,
+    starts: np.ndarray,
+    alpha: float,
+    carry: float | None = None,
+) -> np.ndarray:
+    """EWMA over many concatenated series in lockstep.
+
+    ``x`` holds the batch's series back to back (sorted rows), ``starts``
+    the start offset of each series (ascending, starts[0] == 0).  If
+    ``carry`` is not None the FIRST series continues a previous batch:
+    its first element is a recurrence step from ``carry`` instead of a
+    seed.
+
+    Per time step t the active series are advanced together:
+    ``acc = beta*acc + A[:, t]`` where ``A = alpha*x`` is precomputed —
+    elementwise IEEE ops identical to the scalar loop, so the output is
+    bit-equal to running :func:`_ewma_scalar` per series.  Series are
+    packed sorted by length descending so the active vector is always a
+    prefix — no masks in the loop, and the vector width shrinks as
+    short series finish.
+    """
+    n = x.size
+    y = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return y
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    beta = 1.0 - alpha
+    lens = np.diff(np.append(starts, n))
+    g = lens.size
+    order = np.argsort(-lens, kind="stable")  # longest first
+    lens_s = lens[order]
+    starts_s = starts[order]
+    max_len = int(lens_s[0])
+
+    # alpha*x for every element, one vectorized multiply (same IEEE op
+    # as the scalar loop's alpha * x[i])
+    a_flat = alpha * x
+
+    # padded (g, max_len) matrices, Fortran order so the time loop's
+    # column slices are contiguous
+    idx = starts_s[:, None] + np.arange(max_len)[None, :]
+    np.clip(idx, 0, n - 1, out=idx)
+    A = np.asfortranarray(a_flat[idx])
+    Y = np.empty((g, max_len), dtype=np.float64, order="F")
+
+    # seeds: y_0 = x_0, except a continuing first series steps from carry
+    acc = x[starts_s].copy()
+    if carry is not None:
+        cont = int(np.nonzero(order == 0)[0][0])  # sorted position of series 0
+        acc[cont] = beta * carry + a_flat[starts[0]]
+    Y[:, 0] = acc
+
+    # number of series with len > t, for a descending lens_s prefix
+    neg = -lens_s
+    for t in range(1, max_len):
+        c = int(np.searchsorted(neg, -t, side="right"))
+        a = acc[:c]
+        a *= beta
+        a += A[:c, t]
+        Y[:c, t] = a
+
+    # scatter back to row order: row r of series order[s] at offset p
+    # reads Y[s, p]
+    inv = np.empty(g, dtype=np.int64)
+    inv[order] = np.arange(g)
+    group_of_row = np.repeat(np.arange(g), lens)
+    pos_in_group = np.arange(n) - np.repeat(starts, lens)
+    y[:] = Y[inv[group_of_row], pos_in_group]
+    return y
 
 
 def ewma(
@@ -28,11 +135,15 @@ def ewma(
     ts_col: str = "ts",
     value_col: str = "value",
     out_col: str = "ewma_value",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
-    """Append the EWMA of ``value_col`` per key, ordered by (ts, input
-    order tiebreak on all remaining columns is NOT applied — supply a
-    unique (key, ts) or pre-aggregate; ties make the recurrence order
-    undefined)."""
+    """Append the EWMA of ``value_col`` per key, ordered by
+    (ts_col, tiebreak_col).
+
+    Pass ``tiebreak_col`` (a unique-per-(key, ts) column) whenever
+    duplicate timestamps are possible — without it the recurrence order
+    over ties is shuffle-arrival-dependent.
+    """
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
     from pyspark.sql.types import DoubleType, StructType
@@ -41,27 +152,40 @@ def ewma(
     schema = StructType(
         [f for f in df.schema.fields if f.name != out_col]
     ).add(out_col, DoubleType())
+    sort_cols = [key_col, ts_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
 
-    import numpy as np
+    def run(batches: Iterator) -> Iterator:
+        # cross-batch carry: rows arrive sorted by (key, ts[, tiebreak])
+        # within the partition, so a series spanning batch boundaries
+        # continues from one float of state
+        carry_key = None
+        carry_acc: float | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = np.empty(0, dtype=np.float64)
+                yield pdf[cols + [out_col]]
+                continue
+            keys = pdf[key_col].to_numpy()
+            x = pdf[value_col].to_numpy(dtype=np.float64)
+            starts = np.append(
+                0, 1 + np.flatnonzero(keys[1:] != keys[:-1])
+            )
+            carry = (
+                carry_acc
+                if carry_acc is not None and keys[0] == carry_key
+                else None
+            )
+            y = _ewma_lockstep(x, starts, alpha, carry=carry)
+            carry_key = keys[-1]
+            carry_acc = float(y[-1])
+            pdf = pdf.copy(deep=False)
+            pdf[out_col] = y
+            yield pdf[cols + [out_col]]
 
-    beta = 1.0 - alpha
-
-    def per_key(pdf):
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
-        x = pdf[value_col].to_numpy(dtype=np.float64)
-        y = np.empty_like(x)
-        if x.size:
-            # the literal recurrence, NOT pandas.ewm: ewm's weighted-sum
-            # formulation divides by (alpha + beta) != 1.0 in floats,
-            # which de-syncs it from any SQL twin computing
-            # y = beta*y_prev + alpha*x step by step (e.g. a recursive
-            # CTE oracle). This order of IEEE ops is reproducible.
-            acc = x[0]
-            y[0] = acc
-            for i in range(1, x.size):
-                acc = beta * acc + alpha * x[i]
-                y[i] = acc
-        pdf[out_col] = y
-        return pdf[cols + [out_col]]
-
-    return df.groupBy(key_col).applyInPandas(per_key, schema=schema)
+    return (
+        df.repartition(key_col)
+        .sortWithinPartitions(*sort_cols)
+        .mapInPandas(run, schema=schema)
+    )

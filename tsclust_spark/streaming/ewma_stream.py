@@ -51,7 +51,7 @@ OUT_SCHEMA = T.StructType(
 )
 
 
-def _make_step(alpha: float):
+def _make_step(alpha: float, tiebreak_col: str | None = None):
     beta = 1.0 - alpha
 
     def step(
@@ -66,7 +66,12 @@ def _make_step(alpha: float):
             y, last_ts = 0.0, float("-inf")
             have_state = False
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts", kind="mergesort")
+            # tiebreak totalizes the order over duplicate-ts rows
+            # (ADVICE r3) — same contract as the batch operator
+            sort_cols = ["ts"] + (
+                [tiebreak_col] if tiebreak_col and tiebreak_col in pdf else []
+            )
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
             out_y = []
             out_late = []
             for ts, x in zip(
@@ -90,14 +95,19 @@ def _make_step(alpha: float):
 
 
 def ewma_stream(
-    points: DataFrame, alpha: float = 0.3, timeout: str = "NoTimeout"
+    points: DataFrame,
+    alpha: float = 0.3,
+    timeout: str = "NoTimeout",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Apply the stateful EWMA to a streaming DataFrame of
-    ``(user_id long, ts timestamp, value double)``."""
+    ``(user_id long, ts timestamp, value double)``.  Pass
+    ``tiebreak_col`` (an extra unique column on the input) when
+    duplicate (key, ts) rows are possible."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
     return points.groupBy("user_id").applyInPandasWithState(
-        _make_step(alpha),
+        _make_step(alpha, tiebreak_col=tiebreak_col),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
