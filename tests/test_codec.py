@@ -7,7 +7,9 @@ from hypothesis import strategies as st
 
 from tsclust_spark.kernels.codec import (
     decode_dod,
+    decode_dod_batch,
     decode_xor,
+    decode_xor_batch,
     encode_dod,
     encode_xor,
 )
@@ -127,6 +129,101 @@ def test_token_walk_roundtrip_and_ratio():
 
 
 @pytest.mark.spark
+def _dod_edge_arrays():
+    rng = np.random.default_rng(3)
+    return [
+        np.empty(0, dtype=np.int64),
+        np.array([0], dtype=np.int64),
+        np.array([-5], dtype=np.int64),
+        1704067200 + np.arange(700, dtype=np.int64),  # all-zero dods
+        np.concatenate(
+            (
+                [0],
+                np.cumsum(
+                    [1, 1, 65, 2, -61, 258, -253, 2050, -2045, 10**9,
+                     -(10**9) + 7, 0, 0, 1]
+                ),
+            )
+        ).astype(np.int64),  # every bucket
+        np.array([2**62, -(2**62), 0, 2**62], dtype=np.int64),  # wrapping
+        np.array([2**63 - 1, -(2**63), 2**63 - 1], dtype=np.int64),
+        rng.integers(-(2**40), 2**40, size=333).astype(np.int64),
+        np.cumsum(rng.integers(-3, 4, size=1009)).astype(np.int64),
+    ]
+
+
+def _xor_edge_arrays():
+    rng = np.random.default_rng(5)
+    return [
+        np.empty(0, dtype=np.int64),
+        np.array([7], dtype=np.int64),
+        np.array([3.5], dtype=np.float64),
+        np.zeros(64, dtype=np.int64),  # all-zero xors
+        np.array([0, -1, 0, -1], dtype=np.int64),  # 64 meaningful bits
+        np.array([1, 2, 4, 8, 2**62, 1], dtype=np.int64),
+        rng.integers(0, 2**16, size=501).astype(np.int64),  # token-like
+        rng.normal(size=257),  # float64 walk
+        np.cumsum(rng.integers(-2, 3, size=999)).astype(np.int64),
+        np.empty(0, dtype=np.float64),
+    ]
+
+
+def test_decode_dod_batch_bit_equals_scalar():
+    """The lockstep batch decoder must reproduce the scalar reference
+    decoder bit-for-bit across every edge class at once (mixed lengths,
+    wrapping, empties, every bucket)."""
+    arrays = _dod_edge_arrays()
+    blobs = [encode_dod(a) for a in arrays]
+    got = decode_dod_batch(blobs)
+    assert len(got) == len(arrays)
+    for g, a in zip(got, arrays):
+        assert g.dtype == np.int64
+        np.testing.assert_array_equal(g, a)
+        np.testing.assert_array_equal(g, decode_dod(encode_dod(a)))
+
+
+def test_decode_xor_batch_bit_equals_scalar():
+    arrays = _xor_edge_arrays()
+    blobs = [encode_xor(a) for a in arrays]
+    got = decode_xor_batch(blobs)
+    for g, a in zip(got, arrays):
+        expect_dtype = (
+            np.float64 if a.dtype == np.float64 else np.int64
+        )
+        assert g.dtype == expect_dtype
+        np.testing.assert_array_equal(g, a)
+
+
+def test_decode_batch_chunking():
+    """Tiny chunk_elems forces many row-chunks; results identical."""
+    arrays = _xor_edge_arrays()
+    blobs = [encode_xor(a) for a in arrays]
+    got = decode_xor_batch(blobs, chunk_elems=16)
+    for g, a in zip(got, arrays):
+        np.testing.assert_array_equal(g, a)
+    d_arrays = _dod_edge_arrays()
+    d_blobs = [encode_dod(a) for a in d_arrays]
+    for g, a in zip(decode_dod_batch(d_blobs, chunk_elems=16), d_arrays):
+        np.testing.assert_array_equal(g, a)
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            max_size=80,
+        ),
+        max_size=12,
+    )
+)
+def test_decode_xor_batch_property(rows):
+    arrays = [np.array(r, dtype=np.int64) for r in rows]
+    got = decode_xor_batch([encode_xor(a) for a in arrays])
+    for g, a in zip(got, arrays):
+        np.testing.assert_array_equal(g, a)
+
+
 def test_spark_roundtrip_gate(spark):
     from tsclust_spark.kernels.codec import compress_sequences, roundtrip_ok
     from tsclust_spark.sources.datagen import read_sequences
@@ -182,6 +279,26 @@ def test_xor_batch_byte_identical_to_per_row():
 
 
 @pytest.mark.spark
+def test_decompress_blocks_roundtrip(spark):
+    """compress -> decompress through Spark reproduces every token
+    array bit-exactly (the raw-tier write+read paths compose to
+    identity)."""
+    from tsclust_spark.kernels.codec import (
+        compress_sequences,
+        decompress_blocks,
+    )
+    from tsclust_spark.sources.datagen import read_sequences
+
+    seq = read_sequences(spark, "smoke").limit(300)
+    blocks = compress_sequences(seq)
+    back = decompress_blocks(blocks)
+    orig = {r["doc_id"]: r["tokens"] for r in seq.collect()}
+    got = {r["doc_id"]: r["tokens"] for r in back.collect()}
+    assert set(got) == set(orig)
+    for doc_id, toks in orig.items():
+        assert got[doc_id] == toks, doc_id
+
+
 def test_compress_plan_is_map_only(spark):
     """Raw-tier compression must add no Exchange: one scan, one
     mapInArrow, straight to the sink."""

@@ -167,6 +167,205 @@ def decode_dod(blob: bytes) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Vectorized batch decoders (VERDICT r3 item 4)
+#
+# A single stream's control-bit walk is inherently sequential (each
+# codeword's position depends on every previous length), but the engine
+# decodes BATCHES of independent row blobs (mapInArrow / mapInPandas),
+# so the decoders below advance all rows in lockstep: one loop
+# iteration decodes value i of EVERY active row with ~15 elementwise
+# numpy ops.  Rows are processed sorted by point count descending, so
+# the active set is always a prefix — no masks in the loop and the
+# vector width shrinks as short rows finish.  Interpreter cost is per
+# VALUE-INDEX per batch, not per value (and never per bit, unlike the
+# scalar decoders, which remain as the independent reference
+# implementation asserted bit-equal in tests/test_codec.py).
+# ---------------------------------------------------------------------------
+
+_U64 = np.uint64
+_ALL1 = _U64(0xFFFFFFFFFFFFFFFF)
+_LOW50 = _U64((1 << 50) - 1)
+
+
+def _pack_words(payloads: list[bytes]) -> np.ndarray:
+    """Blob payloads -> (R, W+2) uint64 matrix of MSB-first bit words.
+
+    Two extra zero words guarantee the 128-bit window gather
+    (idx, idx+1, idx+2) never reads out of bounds.
+    """
+    r = len(payloads)
+    max_w = max((len(p) + 7) // 8 for p in payloads) if r else 0
+    words = np.zeros((r, max_w + 2), dtype=np.uint64)
+    for i, p in enumerate(payloads):
+        nw = (len(p) + 7) // 8
+        if nw == 0:
+            continue
+        buf = p if len(p) % 8 == 0 else p + b"\x00" * (8 - len(p) % 8)
+        words[i, :nw] = np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+    return words
+
+
+def _windows(words: np.ndarray, pos: np.ndarray):
+    """128-bit windows at bit offsets ``pos``: returns (hi, lo) where
+    hi holds bits [pos, pos+64) MSB-first and lo bits [pos+64, pos+128).
+    ``words`` rows must already be row-aligned with ``pos``."""
+    idx = (pos >> 6).astype(np.int64)
+    off = (pos & 63).astype(np.uint64)
+    rows = np.arange(words.shape[0])[: pos.size]
+    w0 = words[rows, idx]
+    w1 = words[rows, idx + 1]
+    w2 = words[rows, idx + 2]
+    # numpy shift by 64 is UB: compute the off==0 case via where
+    inv = (_U64(64) - off) & _U64(63)
+    nz = off != 0
+    hi = (w0 << off) | np.where(nz, w1 >> inv, _U64(0))
+    lo = (w1 << off) | np.where(nz, w2 >> inv, _U64(0))
+    return hi, lo
+
+
+def _var_mask(nbits: np.ndarray) -> np.ndarray:
+    """(1 << nbits) - 1 as uint64, valid for nbits in [0, 64]."""
+    nb = nbits.astype(np.uint64)
+    return np.where(
+        nb >= _U64(64), _ALL1, (_U64(1) << (nb & _U64(63))) - _U64(1)
+    )
+
+
+def decode_xor_batch(
+    blobs: list[bytes], chunk_elems: int = 1 << 22
+) -> list[np.ndarray]:
+    """Vectorized inverse of :func:`encode_xor` over many blobs.
+
+    Bit-identical to calling :func:`decode_xor` per blob (asserted in
+    tests).  ``chunk_elems`` caps the (rows x max_points) work matrix
+    per chunk (~32 MB of uint64 at the default).
+    """
+    r = len(blobs)
+    if r == 0:
+        return []
+    ns = np.array(
+        [int(np.frombuffer(b[:4], dtype=np.uint32)[0]) for b in blobs],
+        dtype=np.int64,
+    )
+    kinds = [b[4] if len(b) > 4 else 0 for b in blobs]
+    out: list[np.ndarray | None] = [None] * r
+    order = np.argsort(-ns, kind="stable")
+    # row-chunks bound the dense output matrix; rows inside a chunk are
+    # length-sorted so the lockstep active set is a prefix
+    chunk_rows = max(1, int(chunk_elems // max(int(ns.max()), 1)))
+    for lo_i in range(0, r, chunk_rows):
+        sel = order[lo_i : lo_i + chunk_rows]
+        n_s = ns[sel]
+        max_n = int(n_s[0]) if sel.size else 0
+        if max_n == 0:
+            for j in sel:
+                out[j] = np.empty(
+                    0, dtype=np.float64 if kinds[j] == 1 else np.int64
+                )
+            continue
+        words = _pack_words([blobs[j][5:] for j in sel])
+        vals = np.zeros((sel.size, max_n), dtype=np.uint64)
+        nonzero = n_s > 0
+        prev = np.where(nonzero, words[:, 0], _U64(0))
+        vals[:, 0] = prev
+        pos = np.full(sel.size, 64, dtype=np.int64)
+        neg = -n_s
+        for i in range(1, max_n):
+            c = int(np.searchsorted(neg, -i, side="right"))
+            hi, lo = _windows(words[:c], pos[:c])
+            ctrl = (hi >> _U64(63)).astype(bool)
+            lead = (hi >> _U64(56)) & _U64(63)
+            mlen = ((hi >> _U64(50)) & _U64(63)) + _U64(1)
+            # meaningful bits start at codeword offset 14; they sit
+            # wholly in hi when mlen <= 50, else spill into lo
+            m_i = mlen.astype(np.int64)
+            s_a = np.clip(50 - m_i, 0, 63).astype(np.uint64)
+            mean_a = hi >> s_a
+            s_b = np.clip(114 - m_i, 0, 63).astype(np.uint64)
+            spill = np.clip(m_i - 50, 0, 63).astype(np.uint64)
+            mean_b = ((hi & _LOW50) << spill) | (lo >> s_b)
+            mean = np.where(m_i <= 50, mean_a, mean_b) & _var_mask(m_i)
+            trail = (_U64(64) - lead - mlen) & _U64(63)
+            xor = np.where(ctrl, mean << trail, _U64(0))
+            prev[:c] ^= xor
+            vals[:c, i] = prev[:c]
+            pos[:c] += np.where(ctrl, 14 + m_i, 1)
+        for k, j in enumerate(sel):
+            v = vals[k, : n_s[k]]
+            out[j] = (
+                v.copy().view(np.float64)
+                if kinds[j] == 1
+                else v.copy().view(np.int64)
+            )
+    return out  # type: ignore[return-value]
+
+
+def decode_dod_batch(
+    blobs: list[bytes], chunk_elems: int = 1 << 22
+) -> list[np.ndarray]:
+    """Vectorized inverse of :func:`encode_dod` over many blobs
+    (bit-identical to per-blob :func:`decode_dod`)."""
+    r = len(blobs)
+    if r == 0:
+        return []
+    ns = np.array(
+        [int(np.frombuffer(b[:4], dtype=np.uint32)[0]) for b in blobs],
+        dtype=np.int64,
+    )
+    out: list[np.ndarray | None] = [None] * r
+    order = np.argsort(-ns, kind="stable")
+    chunk_rows = max(1, int(chunk_elems // max(int(ns.max()), 1)))
+    for lo_i in range(0, r, chunk_rows):
+        sel = order[lo_i : lo_i + chunk_rows]
+        n_s = ns[sel]
+        max_n = int(n_s[0]) if sel.size else 0
+        if max_n == 0:
+            for j in sel:
+                out[j] = np.empty(0, dtype=np.int64)
+            continue
+        words = _pack_words([blobs[j][4:] for j in sel])
+        vals = np.zeros((sel.size, max_n), dtype=np.uint64)
+        nonzero = n_s > 0
+        prev = np.where(nonzero, words[:, 0], _U64(0))
+        vals[:, 0] = prev
+        prev_delta = np.zeros(sel.size, dtype=np.uint64)
+        pos = np.full(sel.size, 64, dtype=np.int64)
+        neg = -n_s
+        for i in range(1, max_n):
+            c = int(np.searchsorted(neg, -i, side="right"))
+            hi, lo = _windows(words[:c], pos[:c])
+            b0 = (hi >> _U64(63)) & _U64(1)
+            b1 = (hi >> _U64(62)) & _U64(1)
+            b2 = (hi >> _U64(61)) & _U64(1)
+            b3 = (hi >> _U64(60)) & _U64(1)
+            is0 = b0 == 0
+            is7 = (b0 == 1) & (b1 == 0)
+            is9 = (b0 == 1) & (b1 == 1) & (b2 == 0)
+            is12 = (b0 == 1) & (b1 == 1) & (b2 == 1) & (b3 == 0)
+            # payloads per bucket (uint64 subtraction wraps to the
+            # two's-complement negative exactly like the scalar path)
+            d7 = ((hi >> _U64(55)) & _U64(0x7F)) - _U64(63)
+            d9 = ((hi >> _U64(52)) & _U64(0x1FF)) - _U64(255)
+            d12 = ((hi >> _U64(48)) & _U64(0xFFF)) - _U64(2047)
+            d64 = (hi << _U64(4)) | (lo >> _U64(60))
+            dod = np.select(
+                [is0, is7, is9, is12],
+                [_U64(0), d7, d9, d12],
+                default=d64,
+            ).astype(np.uint64)
+            step = np.select(
+                [is0, is7, is9, is12], [1, 9, 12, 16], default=68
+            )
+            prev_delta[:c] += dod
+            prev[:c] += prev_delta[:c]
+            vals[:c, i] = prev[:c]
+            pos[:c] += step
+        for k, j in enumerate(sel):
+            out[j] = vals[k, : n_s[k]].copy().view(np.int64)
+    return out  # type: ignore[return-value]
+
+
 def encode_xor(values: np.ndarray) -> bytes:
     """Gorilla-style XOR encode one int64/float64 array -> bytes.
 
@@ -484,10 +683,65 @@ def compress_sequences(seq_df, t0_epoch: int = 1704067200, step_seconds: int = 1
     )
 
 
+def decompress_blocks(blocks_df):
+    """Compressed blocks -> sequence rows: the raw-tier READ path.
+
+    Inverse of :func:`compress_sequences` (asserted in
+    tests/test_codec.py: decompress(compress(seq)) token arrays are
+    bit-identical to the input).  Runs inside ``mapInArrow`` with the
+    lockstep batch decoders — interpreter cost per value-index per
+    batch, never per value — and rebuilds the Arrow list column from
+    one flat buffer + offsets (no per-row Python objects).
+    """
+
+    def decode(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("source", pa.string()),
+                ("t0", pa.int64()),
+                ("tokens", pa.list_(pa.int32())),
+            ]
+        )
+        for batch in batches:
+            xors = batch.column(
+                batch.schema.get_field_index("xor")
+            ).to_pylist()
+            vals = decode_xor_batch(xors)
+            lens = np.array([v.size for v in vals], dtype=np.int64)
+            flat = (
+                np.concatenate(vals) if vals else np.empty(0, np.int64)
+            )
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            tokens = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(flat.astype(np.int32), pa.int32()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    batch.column(batch.schema.get_field_index("source")),
+                    batch.column(batch.schema.get_field_index("t0")),
+                    tokens,
+                ],
+                schema=out_schema,
+            )
+
+    return blocks_df.select("doc_id", "source", "t0", "xor").mapInArrow(
+        decode, schema="doc_id string, source string, t0 bigint, tokens array<int>"
+    )
+
+
 def roundtrip_ok(seq_df, **kwargs):
     """C25 bit-exactness gate: decode(encode(row)) == row, per row.
 
-    Output: ``(doc_id, ok boolean)`` — all-true == pass.
+    Output: ``(doc_id, ok boolean)`` — all-true == pass.  Encode is the
+    per-row reference coder; decode goes through the vectorized batch
+    decoders, so the gate certifies the production read path against
+    the original data (the scalar decoders are certified against the
+    batch ones separately in tests/test_codec.py).
     """
 
     def check(batches: Iterator) -> Iterator:
@@ -497,13 +751,21 @@ def roundtrip_ok(seq_df, **kwargs):
         step = kwargs.get("step_seconds", 1)
         for pdf in batches:
             toks = pdf["tokens"].to_numpy()
-            oks = np.empty(len(pdf), dtype=bool)
-            for r in range(len(pdf)):
-                vals = np.asarray(toks[r], dtype=np.int64)
-                ts = t0 + np.arange(vals.size, dtype=np.int64) * step
-                oks[r] = np.array_equal(
-                    decode_dod(encode_dod(ts)), ts
-                ) and np.array_equal(decode_xor(encode_xor(vals)), vals)
+            arrays = [np.asarray(t, dtype=np.int64) for t in toks]
+            ts_arrays = [
+                t0 + np.arange(a.size, dtype=np.int64) * step
+                for a in arrays
+            ]
+            d_dec = decode_dod_batch([encode_dod(t) for t in ts_arrays])
+            x_dec = decode_xor_batch([encode_xor(a) for a in arrays])
+            oks = np.fromiter(
+                (
+                    np.array_equal(d, t) and np.array_equal(x, a)
+                    for d, t, x, a in zip(d_dec, ts_arrays, x_dec, arrays)
+                ),
+                dtype=bool,
+                count=len(arrays),
+            )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "ok": oks})
 
     return seq_df.mapInPandas(check, schema="doc_id string, ok boolean")

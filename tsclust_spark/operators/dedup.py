@@ -223,7 +223,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neigh = e.join(
             labels.select(F.col("node").alias("b"), "comp"), "b"
         ).select(F.col("a").alias("node"), "comp")
@@ -240,14 +240,23 @@ def connected_components(
             "comp",
         ).select("node", F.col("_cc").alias("comp"))
         new = new.localCheckpoint(eager=True)
-        n_changed = (
-            new.join(labels.withColumnRenamed("comp", "_old"), "node")
-            .filter(F.col("comp") != F.col("_old"))
-            .count()
-        )
+        # convergence check every SECOND round (and on the final one):
+        # the check is an aggregate-to-one-row action whose job-launch
+        # overhead is pure cost when rounds 1..k-1 obviously still
+        # change labels; checking on odd rounds halves the launches at
+        # worst one extra (cheap, converged) propagation round
+        # (VERDICT r3 item 8).  Round 0 always changes labels for any
+        # non-trivial edge list, so skipping its check is free.
+        labels_prev = labels
         labels = new
-        if n_changed == 0:
-            break
+        if it % 2 == 1 or it == max_iter - 1:
+            n_changed = (
+                new.join(labels_prev.withColumnRenamed("comp", "_old"), "node")
+                .filter(F.col("comp") != F.col("_old"))
+                .count()
+            )
+            if n_changed == 0:
+                break
     return labels.select("node", F.col("comp").alias("component_id"))
 
 
