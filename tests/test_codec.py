@@ -194,6 +194,29 @@ def test_decode_xor_batch_bit_equals_scalar():
         np.testing.assert_array_equal(g, a)
 
 
+def test_decode_batch_short_row_with_densest_payload():
+    """Regression (round-4 bench crash): a row with FEWER points than
+    the chunk max but the LARGEST payload used to get a phantom decode
+    step after its stream ended (searchsorted side off-by-one), whose
+    window gather ran past the padded word matrix.  Short-but-dense next
+    to long-but-sparse reproduces it deterministically."""
+    rng = np.random.default_rng(21)
+    sparse_long = np.zeros(300, dtype=np.int64)  # tiny payload, max n
+    dense_short = rng.integers(
+        -(2**62), 2**62, size=250
+    ).astype(np.int64)  # max payload, smaller n
+    arrays = [sparse_long, dense_short, np.zeros(5, dtype=np.int64)]
+    got = decode_xor_batch([encode_xor(a) for a in arrays])
+    for g, a in zip(got, arrays):
+        np.testing.assert_array_equal(g, a)
+    ts = [
+        np.zeros(300, dtype=np.int64),
+        np.cumsum(rng.integers(-(2**40), 2**40, size=250)).astype(np.int64),
+    ]
+    for g, a in zip(decode_dod_batch([encode_dod(t) for t in ts]), ts):
+        np.testing.assert_array_equal(g, a)
+
+
 def test_decode_batch_chunking():
     """Tiny chunk_elems forces many row-chunks; results identical."""
     arrays = _xor_edge_arrays()

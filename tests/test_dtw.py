@@ -278,6 +278,120 @@ def test_extended_metric_strings():
     )
 
 
+def test_sklearn_alias_metric_strings():
+    """sklearn's l1/l2/manhattan/matching aliases resolve to their
+    canonical metrics."""
+    rng = np.random.RandomState(3)
+    a, b = rng.rand(4, 3), rng.rand(5, 3)
+    np.testing.assert_array_equal(
+        pairwise_cost(a, b, "l1"), pairwise_cost(a, b, "cityblock")
+    )
+    np.testing.assert_array_equal(
+        pairwise_cost(a, b, "l2"), pairwise_cost(a, b, "euclidean")
+    )
+    np.testing.assert_array_equal(
+        pairwise_cost(a, b, "matching"), pairwise_cost(a, b, "hamming")
+    )
+
+
+def test_weighted_metric_strings():
+    """seuclidean / mahalanobis / nan_euclidean against per-pair
+    reference formulas."""
+    rng = np.random.RandomState(9)
+    a, b = rng.rand(4, 3), rng.rand(5, 3)
+    V = rng.rand(3) + 0.5
+    se = np.array(
+        [[np.sqrt(((x - y) ** 2 / V).sum()) for y in b] for x in a]
+    )
+    np.testing.assert_allclose(
+        pairwise_cost(a, b, "seuclidean", V=V), se, rtol=1e-12
+    )
+    M = rng.rand(3, 3)
+    VI = M @ M.T + np.eye(3)  # SPD
+    mah = np.array(
+        [[np.sqrt((x - y) @ VI @ (x - y)) for y in b] for x in a]
+    )
+    np.testing.assert_allclose(
+        pairwise_cost(a, b, "mahalanobis", VI=VI), mah, rtol=1e-12
+    )
+    an = a.copy()
+    an[0, 1] = np.nan
+    an[2, :] = np.nan
+    got = pairwise_cost(an, b, "nan_euclidean")
+    # row 0: dims 0 and 2 present -> scaled by 3/2
+    x, y = an[0], b[1]
+    exp = np.sqrt(((x[0] - y[0]) ** 2 + (x[2] - y[2]) ** 2) * 3 / 2)
+    assert got[0, 1] == pytest.approx(exp, rel=1e-12)
+    assert np.isnan(got[2]).all()  # all-missing row
+    # no missing dims == plain euclidean
+    np.testing.assert_allclose(
+        pairwise_cost(a, b, "nan_euclidean"),
+        pairwise_cost(a, b, "euclidean"),
+        rtol=1e-12,
+    )
+
+
+def test_boolean_set_metric_strings():
+    """jaccard/dice/rogerstanimoto/russellrao/sokalmichener/
+    sokalsneath/yule/kulsinski vs truth-table reference formulas
+    (scipy.spatial.distance definitions)."""
+    rng = np.random.RandomState(17)
+    a = (rng.rand(6, 8) > 0.5).astype(float)
+    b = (rng.rand(7, 8) > 0.5).astype(float)
+
+    def counts(x, y):
+        xt, yt = x != 0, y != 0
+        ntt = float(np.sum(xt & yt))
+        ntf = float(np.sum(xt & ~yt))
+        nft = float(np.sum(~xt & yt))
+        nff = float(np.sum(~xt & ~yt))
+        return ntt, ntf, nft, nff
+
+    def ref(metric, x, y):
+        ntt, ntf, nft, nff = counts(x, y)
+        n = x.size
+        R = ntf + nft
+        if metric == "jaccard":
+            return R / (ntt + R) if ntt + R else 0.0
+        if metric == "dice":
+            return R / (2 * ntt + R) if 2 * ntt + R else 0.0
+        if metric == "rogerstanimoto":
+            return 2 * R / (ntt + nff + 2 * R)
+        if metric == "russellrao":
+            return (n - ntt) / n
+        if metric == "sokalmichener":
+            return 2 * R / (ntt + nff + 2 * R)
+        if metric == "sokalsneath":
+            return 2 * R / (ntt + 2 * R) if ntt + 2 * R else 0.0
+        if metric == "yule":
+            return (
+                2 * ntf * nft / (ntt * nff + ntf * nft)
+                if ntf * nft
+                else 0.0
+            )
+        if metric == "kulsinski":
+            return (R - ntt + n) / (R + n)
+
+    for metric in (
+        "jaccard",
+        "dice",
+        "rogerstanimoto",
+        "russellrao",
+        "sokalmichener",
+        "sokalsneath",
+        "yule",
+        "kulsinski",
+    ):
+        want = np.array([[ref(metric, x, y) for y in b] for x in a])
+        np.testing.assert_allclose(
+            pairwise_cost(a, b, metric), want, rtol=1e-12, err_msg=metric
+        )
+    # degenerate all-zero pair: defined as 0, never nan
+    z = np.zeros((1, 4))
+    for metric in ("jaccard", "dice", "sokalsneath", "yule"):
+        assert pairwise_cost(z, z, metric)[0, 0] == 0.0
+
+
 def test_step_pattern_str_tabulate_github_format():
     """Reference stepattern.py:114-122 renders tabulate github format;
     the hand-rolled twin must match it (incl. dynamic column widths)."""

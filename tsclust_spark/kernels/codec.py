@@ -272,7 +272,7 @@ def decode_xor_batch(
         pos = np.full(sel.size, 64, dtype=np.int64)
         neg = -n_s
         for i in range(1, max_n):
-            c = int(np.searchsorted(neg, -i, side="right"))
+            c = int(np.searchsorted(neg, -i, side="left"))
             hi, lo = _windows(words[:c], pos[:c])
             ctrl = (hi >> _U64(63)).astype(bool)
             lead = (hi >> _U64(56)) & _U64(63)
@@ -333,7 +333,7 @@ def decode_dod_batch(
         pos = np.full(sel.size, 64, dtype=np.int64)
         neg = -n_s
         for i in range(1, max_n):
-            c = int(np.searchsorted(neg, -i, side="right"))
+            c = int(np.searchsorted(neg, -i, side="left"))
             hi, lo = _windows(words[:c], pos[:c])
             b0 = (hi >> _U64(63)) & _U64(1)
             b1 = (hi >> _U64(62)) & _U64(1)

@@ -70,11 +70,14 @@ def pairwise_cost(s1: np.ndarray, s2: np.ndarray, metric="euclidean", **kwds) ->
         diff = a[:, None, :] - b[None, :, :]
         sq = np.einsum("ijk,ijk->ij", diff, diff)
         return sq if metric == "sqeuclidean" else np.sqrt(sq)
-    if metric in ("cityblock", "manhattan"):
+    if metric in ("cityblock", "manhattan", "l1"):
         return np.abs(a[:, None, :] - b[None, :, :]).sum(axis=2)
+    if metric == "l2":
+        diff = a[:, None, :] - b[None, :, :]
+        return np.sqrt(np.einsum("ijk,ijk->ij", diff, diff))
     if metric == "chebyshev":
         return np.abs(a[:, None, :] - b[None, :, :]).max(axis=2)
-    if metric == "hamming":
+    if metric in ("hamming", "matching"):
         return (a[:, None, :] != b[None, :, :]).mean(axis=2)
     if metric == "cosine":
         na = np.linalg.norm(a, axis=1)
@@ -117,6 +120,77 @@ def pairwise_cost(s1: np.ndarray, s2: np.ndarray, metric="euclidean", **kwds) ->
         dist = 1.0 - sim
         both_const = (na == 0)[:, None] & (nb == 0)[None, :]
         return np.where(both_const, 0.0, dist)
+    if metric == "seuclidean":
+        # standardized euclidean; V = per-dimension variances (sklearn
+        # computes it from the stacked data when omitted — here it is
+        # an explicit kwarg so the cost matrix is a pure function of
+        # its inputs)
+        V = np.asarray(kwds["V"], dtype=np.float64)
+        diff = a[:, None, :] - b[None, :, :]
+        return np.sqrt((diff * diff / V[None, None, :]).sum(axis=2))
+    if metric == "mahalanobis":
+        VI = np.asarray(kwds["VI"], dtype=np.float64)
+        diff = a[:, None, :] - b[None, :, :]
+        return np.sqrt(np.einsum("ijk,kl,ijl->ij", diff, VI, diff))
+    if metric == "nan_euclidean":
+        # sklearn semantics: squared distance over mutually present
+        # dims, scaled by n_total / n_present; all-missing pairs -> nan
+        pa = ~np.isnan(a)
+        pb = ~np.isnan(b)
+        a0 = np.where(pa, a, 0.0)
+        b0 = np.where(pb, b, 0.0)
+        present = pa[:, None, :] & pb[None, :, :]
+        diff = np.where(present, a0[:, None, :] - b0[None, :, :], 0.0)
+        sq = np.einsum("ijk,ijk->ij", diff, diff)
+        n_present = present.sum(axis=2)
+        n_total = a.shape[1]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.sqrt(
+                np.where(n_present > 0, sq * n_total / n_present, np.nan)
+            )
+    if metric in (
+        "jaccard",
+        "dice",
+        "rogerstanimoto",
+        "russellrao",
+        "sokalmichener",
+        "sokalsneath",
+        "yule",
+        "kulsinski",
+    ):
+        # boolean-set metrics over the truth-table counts
+        # (scipy.spatial.distance formulas; degenerate 0/0 cases are
+        # defined as 0 rather than nan so they cannot poison a DP)
+        at = (a != 0).astype(np.float64)
+        bt = (b != 0).astype(np.float64)
+        n = float(a.shape[1])
+        ntt = at @ bt.T
+        ntf = at @ (1.0 - bt).T
+        nft = (1.0 - at) @ bt.T
+        nff = n - ntt - ntf - nft
+        R = ntf + nft
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if metric == "jaccard":
+                den = ntt + R
+                return np.where(den > 0, R / den, 0.0)
+            if metric == "dice":
+                den = 2.0 * ntt + R
+                return np.where(den > 0, R / den, 0.0)
+            if metric == "rogerstanimoto":
+                return 2.0 * R / (ntt + nff + 2.0 * R)
+            if metric == "russellrao":
+                return (n - ntt) / n
+            if metric == "sokalmichener":
+                return 2.0 * R / (ntt + nff + 2.0 * R)
+            if metric == "sokalsneath":
+                den = ntt + 2.0 * R
+                return np.where(den > 0, 2.0 * R / den, 0.0)
+            if metric == "yule":
+                den = ntt * nff + ntf * nft
+                half = ntf * nft
+                return np.where(half > 0, 2.0 * half / den, 0.0)
+            if metric == "kulsinski":
+                return (R - ntt + n) / (R + n)
     raise ValueError(f"unsupported metric: {metric!r}")
 
 

@@ -112,7 +112,7 @@ def _ewma_lockstep(
     # number of series with len > t, for a descending lens_s prefix
     neg = -lens_s
     for t in range(1, max_len):
-        c = int(np.searchsorted(neg, -t, side="right"))
+        c = int(np.searchsorted(neg, -t, side="left"))
         a = acc[:c]
         a *= beta
         a += A[:c, t]

@@ -19,12 +19,16 @@ signatures, partition sizing — is real and tested. Decoding:
   ``extract_features``/``resize_media``. :func:`encode_bmp` /
   :func:`encode_png` are the matching writers (test fixtures
   round-trip).
-- Other formats (JPEG/PNG/audio/video) are STUBBED — this container has
-  no media libraries: :func:`decode_image` raises
-  ``NotImplementedError`` unless ``fake_decode=True``, in which case a
-  deterministic fake decoder (seeded by the payload's md5) produces
-  stable pseudo-pixels so downstream plumbing is exercised end-to-end
-  with verifiable outputs.
+- **Baseline JPEG is decoded for real too** (operators/jpeg.py: a
+  from-scratch ITU-T T.81 baseline sequential codec — marker parse,
+  canonical Huffman, dequant, IDCT, 4:4:4/4:2:2/4:2:0 chroma
+  upsampling — numpy + stdlib only, with a matching encoder for
+  round-trip fixtures).  Progressive/arithmetic JPEG and audio/video
+  remain STUBBED (no media libraries in this container):
+  :func:`decode_image` raises ``NotImplementedError`` unless
+  ``fake_decode=True``, in which case a deterministic fake decoder
+  (seeded by the payload's md5) produces stable pseudo-pixels so
+  downstream plumbing is exercised end-to-end with verifiable outputs.
 
 Scale notes: media rows are large (MBs) — the Arrow batch cap
 (session.py ARROW_MAX_RECORDS_PER_BATCH) matters more here than
@@ -294,10 +298,21 @@ def decode_image(payload: bytes, width: int, height: int, fake_decode: bool = Fa
             return decode_bmp(payload)
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from tsclust_spark.operators.jpeg import decode_jpeg
+
+        px = decode_jpeg(payload)
+        if px.ndim == 3:  # RGB -> same integer ITU-R 601 luma as BMP/PNG
+            px32 = px.astype(np.uint32)
+            px = (
+                (299 * px32[:, :, 0] + 587 * px32[:, :, 1] + 114 * px32[:, :, 2])
+                // 1000
+            ).astype(np.uint8)
+        return px
     if not fake_decode:
         raise NotImplementedError(
-            "only BMP/PNG decode without PIL/opencv; pass fake_decode=True "
-            "for the deterministic test decoder"
+            "only BMP/PNG/baseline-JPEG decode without PIL/opencv; pass "
+            "fake_decode=True for the deterministic test decoder"
         )
     return _fake_pixels(payload, width, height)
 
