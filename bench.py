@@ -290,12 +290,14 @@ def run_suite(cores: int, sf_dir: str) -> dict:
         # best-of approximates the uncontended cost; each leg also
         # brackets a fixed-shape CPU probe so the emitted JSON carries
         # direct evidence of the host conditions the walls saw.
-        rollup_runs, codec_runs, probes = [], [], []
+        rollup_runs, codec_runs, probes, probes_wide = [], [], [], []
         for _ in range(2):
             probes.append(_cpu_quick_probe())
+            probes_wide.append(_cpu_quick_probe(procs=CPUS, n=1_000_000))
             rollup_runs.append(rollup_benchmark(spark, seq_path, out_dir))
             codec_runs.append(codec_benchmark(spark, seq_path))
         probes.append(_cpu_quick_probe())
+        probes_wide.append(_cpu_quick_probe(procs=CPUS, n=1_000_000))
         rollup = min(rollup_runs, key=lambda r: r["wall_sec"])
         codec = min(codec_runs, key=lambda r: r["wall_sec"])
         codec_dec = _best_of(
@@ -323,6 +325,7 @@ def run_suite(cores: int, sf_dir: str) -> dict:
         "dtw_pruned": dtw_pruned,
         "queries": queries,
         "probe_mops": probes,
+        "probe_mops_wide": probes_wide,
     }
 
 
@@ -349,7 +352,15 @@ def main() -> int:
                     res["codec_decode"]["points_per_sec"], 1
                 ),
                 "codec_bytes_per_point": round(res["codec"]["bytes_per_point"], 3),
+                # host-condition evidence bracketing the long legs: a
+                # fixed 4-process CPU burn (comparable across rounds)
+                # and a CPUS-wide burn (exposes oversubscription that
+                # the narrow probe cannot see) — on this sandbox the
+                # same code has measured 15x wall swings with these
+                # probes flat vs depressed, which is what separates a
+                # host story from a code regression
                 "probe_mops": res["probe_mops"],
+                "probe_mops_wide": res["probe_mops_wide"],
                 "dtw_pairs_per_sec": round(res["dtw"]["pairs_per_sec"], 2),
                 "dtw_pruned_prune_rate": res["dtw_pruned"]["prune_rate"],
                 "dtw_pruned_pairs_per_sec": round(
