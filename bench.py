@@ -621,14 +621,26 @@ def scaling_one(cores: int) -> None:
         # run (observed 3-5x) and would otherwise swamp the scaling signal
         warm = seq.filter(F.pmod(F.hash("doc_id"), F.lit(50)) == 0)
         build_tiers_from_sequences(warm)["1d"].count()
+        # SPARK_GRAFT_SCALING_SINGLE=1 -> one timed run per job per leg:
+        # this host's entitlement stalls on a minutes scale, so the
+        # paired-efficiency statistic is only as good as the pair's
+        # temporal adjacency — single-run legs cut a pair's wall from
+        # ~4-6 min to ~2-3 min, which is the difference between a pair
+        # straddling a stall window and sitting inside one entitlement
+        # regime (round-4 measurement: raw pairs scattered 0.18-0.95 on
+        # identical code with best-of-2 legs)
+        single = os.environ.get("SPARK_GRAFT_SCALING_SINGLE") == "1"
         rollup_wall = min(
             _measure_once(lambda: build_tiers_from_sequences(seq)["1d"].count())
-            for _ in range(2)
+            for _ in range(1 if single else 2)
         )
         codec_benchmark(spark, seq_path, frac_mod=400)  # warm python workers
         # 1/20 slice (~42M pts): big enough that the unavoidable full
         # table scan (a hash filter cannot prune) amortizes
-        codec = _best_of(lambda: codec_benchmark(spark, seq_path, frac_mod=20), 2)
+        codec = _best_of(
+            lambda: codec_benchmark(spark, seq_path, frac_mod=20),
+            1 if single else 2,
+        )
     finally:
         spark.stop()
     probe_after = _cpu_quick_probe()

@@ -200,6 +200,22 @@ NOTES = {
         "independent JVM implementation is pure whole-stage-codegen "
         "higher-order functions on the same scan."
     ),
+    "ewma_events": (
+        "Sequential recurrence, round-4 shape: ONE hash Exchange on the "
+        "key + in-partition Sort(key, ts, event_id) + a single "
+        "MapInPandas running the cross-series lockstep kernel — the "
+        "Python interpreter is entered per TIME STEP per Arrow batch, "
+        "never per point, and a series spanning batches continues from "
+        "one float of carry state. Replaces the round-3 "
+        "groupBy().applyInPandas (same single Exchange, but a per-point "
+        "Python loop inside every group)."
+    ),
+    "codec_roundtrip": (
+        "Map-only end to end: encode is the vectorized per-row coder, "
+        "decode the cross-row lockstep batch decoders — zero Exchange; "
+        "the gate certifies the production raw-tier read path "
+        "(decompress_blocks uses the same batch decoders)."
+    ),
 }
 
 
