@@ -501,6 +501,19 @@ def _bw_backing_probe(widths=(1, 2, 4, 8, 16), reps: int = 2) -> dict:
     return out
 
 
+def _bw_quick_probe(procs: int = 4, n: int = 4_000_000) -> float:
+    """~1s fixed-shape streaming-memory burn (GB/s aggregate at width
+    ``procs``), the bandwidth sibling of :func:`_cpu_quick_probe`."""
+    import multiprocessing as mp
+    import time as _t
+
+    with mp.Pool(procs) as p:
+        p.map(_burn_bw, [n // 2] * procs)  # warm pool + fault pages
+        t0 = _t.time()
+        p.map(_burn_bw, [n] * procs)
+        return round(procs * 4 * n * 32 / (_t.time() - t0) / 1e9, 2)
+
+
 def _burn_bw(n):
     import numpy as _np
     import time as _t
@@ -606,6 +619,7 @@ def scaling_one(cores: int) -> None:
     )
     split = max(4 * 1024 * 1024, total_bytes // (cores * 4))
     probe_before = _cpu_quick_probe()
+    bw_before = _bw_quick_probe()
     spark = get_spark(
         f"scale1-{cores}", cores=cores, shuffle_partitions=max(cores, 8),
         extra_confs={
@@ -644,6 +658,7 @@ def scaling_one(cores: int) -> None:
     finally:
         spark.stop()
     probe_after = _cpu_quick_probe()
+    bw_after = _bw_quick_probe()
     print(json.dumps({
         "cores": cores,
         "points": points_n,
@@ -652,6 +667,12 @@ def scaling_one(cores: int) -> None:
         "codec_wall": codec["wall_sec"],
         "codec_bytes_per_point": codec["bytes_per_point"],
         "probe_mops": round((probe_before + probe_after) / 2, 1),
+        # DRAM evidence per leg: the stall windows that break pairs are
+        # bandwidth/IO, invisible to the Mops probe — a depressed
+        # bw probe on exactly the slow leg attributes the stall to the
+        # host's memory system rather than the job
+        "probe_bw_gbps": round(min(bw_before, bw_after), 2),
+        "probe_bw_pair": [bw_before, bw_after],
     }))
 
 
@@ -750,6 +771,9 @@ def scaling_main() -> int:
     probes = {
         c: [l.get("probe_mops") for l in legs[c]] for c in (lo, hi)
     }
+    probes_bw = {
+        c: [l.get("probe_bw_gbps") for l in legs[c]] for c in (lo, hi)
+    }
     have_probes = all(p for ps in probes.values() for p in ps)
     if have_probes:
         rep_effs_corr = [
@@ -820,6 +844,8 @@ def scaling_main() -> int:
             f"{rep_effs_corr}, codec {rep_ceffs_corr}.\n"
             f"Per-leg entitlement probes (Mops/s, fixed 4-process burn): "
             f"local[{lo}]={probes[lo]}, local[{hi}]={probes[hi]}.\n"
+            f"Per-leg bandwidth probes (GB/s, fixed 4-process stream): "
+            f"local[{lo}]={probes_bw[lo]}, local[{hi}]={probes_bw[hi]}.\n"
             f"Best-of-walls-per-side efficiencies (round-2 statistic, "
             f"reported for continuity): rollup {eff:.3f}, codec {ceff:.3f}.\n\n"
             "**Why %d-vs-%d:** the sandbox VM's CPU entitlement is elastic\n"
@@ -885,6 +911,7 @@ def scaling_main() -> int:
             "rollup": rep_effs_corr, "codec": rep_ceffs_corr,
         },
         "leg_probe_mops": probes,
+        "leg_probe_bw_gbps": probes_bw,
         "cpu_backing_probe_mops": cpu_probe,
         "bw_backing_probe_gbps": bw_probe,
         "pair_probe_efficiencies": probe_effs,

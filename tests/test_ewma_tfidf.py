@@ -69,6 +69,40 @@ def test_ewma_lockstep_bit_equals_scalar():
             ), f"alpha={alpha} series={i} not bit-equal"
 
 
+def test_ewma_adaptive_paths_bit_equal():
+    """Both dispatch paths (lockstep for many-short, scalar fallback
+    for few-long batches) and the carry must be bit-identical across
+    the crossover."""
+    from tsclust_spark.operators.ewma import _ewma_lockstep, _ewma_scalar
+
+    rng = np.random.default_rng(31)
+    shapes = [
+        np.full(2, 5000),          # few-long -> scalar path
+        np.full(200, 12),          # many-short -> lockstep path
+        np.array([3000, 5, 5, 5]), # skewed: max_len forces scalar
+    ]
+    for lens in shapes:
+        x = rng.normal(size=int(lens.sum()))
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        bounds = np.append(starts, x.size)
+        for carry in (None, 1.2345):
+            got = _ewma_lockstep(x, starts, 0.3, carry=carry)
+            for i in range(lens.size):
+                seg = x[bounds[i] : bounds[i + 1]].copy()
+                if i == 0 and carry is not None:
+                    want = np.empty_like(seg)
+                    acc = 0.7 * carry + 0.3 * seg[0]
+                    want[0] = acc
+                    for j in range(1, seg.size):
+                        acc = 0.7 * acc + 0.3 * seg[j]
+                        want[j] = acc
+                else:
+                    want = _ewma_scalar(seg, 0.3)
+                assert np.array_equal(
+                    got[bounds[i] : bounds[i + 1]], want
+                ), (lens[:4], i, carry)
+
+
 def test_ewma_lockstep_carry_split():
     """Splitting one series across two lockstep calls with the carry
     must reproduce the unsplit recurrence bit-exactly (the mapInPandas
