@@ -131,6 +131,62 @@ GROUP BY 1, 2
 """
 
 
+def _q_routed_tier_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution-aware multi-tier router (plans/tierquery.py): the
+    month at 1h resolution answered three ways in one plan — the
+    materialized 1h tier below its refresh watermark, the 1m tier
+    re-bucketed between watermarks, the raw tail above — while the
+    oracle aggregates raw directly, proving the routed union is exact.
+    Watermarks are deliberately unaligned so the partially-covered
+    boundary buckets must fall through to a finer source."""
+    from tsclust_spark.operators.rollup import cascade_tier, rollup_tier
+    from tsclust_spark.plans.tierquery import routed_tier_read
+
+    points = _load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("doc_id"), "ts", "value"
+    )
+    w1h, w1m = "2024-01-20 06:30:00", "2024-01-27 12:10:30"
+    t1m = rollup_tier(
+        points.filter(F.col("ts") < F.lit(w1m).cast("timestamp")),
+        "1m",
+        integer_values=False,
+    )
+    t1h = cascade_tier(t1m, "1h", integer_values=False)
+    routed = routed_tier_read(
+        "1h",
+        "2024-01-01 00:00:00",
+        "2024-02-01 00:00:00",
+        {"1h": t1h, "1m": t1m},
+        {"1h": w1h, "1m": w1m},
+        raw_points=points,
+        integer_values=False,
+    )
+    return routed.select(
+        "doc_id",
+        "bucket_ts",
+        _sround("min_value", 6).alias("min_value"),
+        _sround("max_value", 6).alias("max_value"),
+        _sround("sum_value", 4).alias("sum_value"),
+        "count_value",
+        _sround("mean_value", 6).alias("mean_value"),
+    )
+
+
+_SQL_ROUTED_TIER_1H = f"""
+SELECT user_id AS doc_id,
+       date_trunc('hour', ts) AS bucket_ts,
+       {_sql_round('min(value)', 6)} AS min_value,
+       {_sql_round('max(value)', 6)} AS max_value,
+       {_sql_round('sum(value)', 4)} AS sum_value,
+       count(value) AS count_value,
+       {_sql_round('sum(value) / count(value)', 6)} AS mean_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY 1, 2
+"""
+
+
 def _q_tier_firstlast_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first()/last() tier aggregates (TimescaleDB parity), cascaded.
 
@@ -2675,6 +2731,7 @@ DRIVER_WINDOW = 50
 # r3-green, code unchanged since their CORRECTNESS_r03 hash-green row,
 # each with redundant local coverage (pytest and/or a shared oracle).
 _BEYOND_WINDOW_VETERANS = [
+    "split_assign",          # pure function of (seed, id); r3-green; pytest tests/test_sampling.py
     "fast1m_arrow",          # shares _SQL_FAST1M with in-window fast1m_jvm
     "token_count",           # map-only JVM expr; pytest tests/test_textstats.py
     "fingerprint",           # map-only JVM expr; pytest
@@ -2715,7 +2772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_bounds": _q_approx_distinct_bounds,
         "quantile_sketch_bounds": _q_quantile_sketch_bounds,
         "semi_anti_resume": _q_semi_anti_resume,
-        # --- code or oracle changed in round 4 (must re-certify) ---
+        # --- new in round 4 / code or oracle changed (must certify) ---
+        "routed_tier_1h": _q_routed_tier_1h,
         "ewma_events": _q_ewma_events,
         "gopher_flags": _q_gopher_flags,
         "psi_view_vs_purchase": _q_psi_view_vs_purchase,
@@ -2748,9 +2806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_delta_1h": _q_counter_delta_1h,
         "tier_histogram_1h": _q_tier_histogram_1h,
         "sample_docs_10pct": _q_sample_docs_10pct,
-        "split_assign": _q_split_assign,
         "cap_docs_per_source": _q_cap_docs_per_source,
         # --- beyond the driver window: _BEYOND_WINDOW_VETERANS ---
+        "split_assign": _q_split_assign,
         "fast1m_arrow": _q_fast1m_arrow,
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
@@ -2815,6 +2873,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _SQL_QUALITY,
         "tier_1m_events": _SQL_TIER_1M_EVENTS,
         "tier_cascade_1h_events": _SQL_TIER_1H_DIRECT,
+        "routed_tier_1h": _SQL_ROUTED_TIER_1H,
         "tier_firstlast_1h": _SQL_TIER_FIRSTLAST_1H,
         "realtime_cagg_1m": _SQL_REALTIME_CAGG_1M,
         "time_weighted_avg_1h": _SQL_TIME_WEIGHTED_AVG_1H,
