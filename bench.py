@@ -266,7 +266,29 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     from tsclust_spark.sources.datagen import sequences_path
 
     seq_path = sequences_path(BENCH_SEQ_SIZE)  # generate-once, cached
-    spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    # Scan splits sized adaptively to ~4 task waves per core, the same
+    # formula the scaling legs use (see scaling_one): at the default
+    # 128 MiB maxPartitionBytes the 16-file / ~250 MB bench table packs
+    # into ~2 map tasks, so the rollup leg's Arrow 1m kernel ran on 2
+    # of 32 cores (round-4 finding: leg wall 32.9s with 30 cores idle;
+    # a real 100 TB input is thousands of Iceberg files and never has
+    # this problem — the conf reproduces that scan shape, it does not
+    # tune the job to the host).
+    total_bytes = sum(
+        os.path.getsize(os.path.join(seq_path, f))
+        for f in os.listdir(seq_path)
+        if f.endswith(".parquet")
+    )
+    split = max(4 * 1024 * 1024, total_bytes // (cores * 4))
+    spark = get_spark(
+        f"bench-{cores}",
+        cores=cores,
+        shuffle_partitions=max(cores, 8),
+        extra_confs={
+            "spark.sql.files.maxPartitionBytes": str(split),
+            "spark.sql.files.openCostInBytes": str(1024 * 1024),
+        },
+    )
     out_dir = f"/tmp/bench_tiers_{cores}"
     shutil.rmtree(out_dir, ignore_errors=True)
     try:
@@ -292,7 +314,11 @@ def run_suite(cores: int, sf_dir: str) -> dict:
         # direct evidence of the host conditions the walls saw.
         rollup_runs, codec_runs = [], []
         probes, probes_wide, probes_bw = [], [], []
-        n_long_reps = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "3"))
+        # 4 reps (was 3): the host's calm/stalled regimes alternate on a
+        # minutes scale and one extra interleaved rep materially raises
+        # the chance the best-of window samples a calm period (measured
+        # this round: identical leg 6.2s vs 46.6s run-to-run).
+        n_long_reps = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "4"))
         for _ in range(n_long_reps):
             probes.append(_cpu_quick_probe())
             probes_wide.append(_cpu_quick_probe(procs=CPUS, n=1_000_000))
@@ -367,11 +393,12 @@ def main() -> int:
                 "probe_mops": res["probe_mops"],
                 "probe_mops_wide": res["probe_mops_wide"],
                 # DRAM-bus evidence: the round-4 scaling campaign showed
-                # the host's memory system stalling to 0.1-0.7 GB/s
-                # (calm: 6-23) for minutes at a time — the regime that
-                # inflates the long scan legs 10x+ while CPU probes stay
-                # flat.  A depressed value here marks the run as taken
-                # inside such a stall.
+                # the host's memory system stalling for minutes at a
+                # time — the regime that inflates the long scan legs
+                # 10x+ while CPU probes stay flat.  Worker-internal
+                # calm baseline is 22-41 GB/s (see _bw_quick_probe); a
+                # value far below that marks the run as taken inside
+                # such a stall.
                 "probe_bw_gbps": res["probe_bw_gbps"],
                 "dtw_pairs_per_sec": round(res["dtw"]["pairs_per_sec"], 2),
                 "dtw_pruned_prune_rate": res["dtw_pruned"]["prune_rate"],
@@ -468,13 +495,15 @@ def _cpu_backing_probe(widths=(1, 2, 4, 8, 16, 32), reps: int = 2) -> dict:
     parallel burn scales, otherwise the measurement grades the host,
     not the job."""
     import multiprocessing as mp
-    import time as _t
 
     def _measure(procs, n=8_000_000):
-        t0 = _t.time()
         with mp.Pool(procs) as p:
-            p.map(_burn, [n] * procs)
-        return procs * n / (_t.time() - t0) / 1e6
+            p.map(_burn_t, [n // 4] * procs)  # warm pool (fork+import)
+            walls = p.map(_burn_t, [n] * procs)
+        # worker-INTERNAL walls (see _bw_quick_probe for why): the
+        # slowest concurrent worker's inner time bounds the window in
+        # which all procs*n ops completed, so this never overcounts
+        return procs * n / max(walls) / 1e6
 
     out: dict[int, float] = {}
     for _ in range(reps):
@@ -497,7 +526,6 @@ def _bw_backing_probe(widths=(1, 2, 4, 8, 16), reps: int = 2) -> dict:
     and bandwidth can express a 4x; a Mops-only probe cannot see this
     (CPU burns fit in registers/L1)."""
     import multiprocessing as mp
-    import time as _t
 
     n = 6_000_000
 
@@ -505,28 +533,39 @@ def _bw_backing_probe(widths=(1, 2, 4, 8, 16), reps: int = 2) -> dict:
     for _ in range(reps):
         for w in widths:
             with mp.Pool(w) as p:
-                p.map(_burn_bw, [n // 2] * w)  # warm pool + fault pages
-                t0 = _t.time()
-                p.map(_burn_bw, [n] * w)
-                agg = w * 4 * n * 32 / (_t.time() - t0) / 1e9
+                p.map(_burn_bw, [n // 2] * w)  # warm pool (fork+import)
+                walls = p.map(_burn_bw, [n] * w)
+                agg = w * 4 * n * 32 / max(walls) / 1e9
             out[w] = max(out.get(w, 0.0), round(agg, 2))
     return out
 
 
 def _bw_quick_probe(procs: int = 4, n: int = 4_000_000) -> float:
     """~1s fixed-shape streaming-memory burn (GB/s aggregate at width
-    ``procs``), the bandwidth sibling of :func:`_cpu_quick_probe`."""
+    ``procs``), the bandwidth sibling of :func:`_cpu_quick_probe`.
+
+    CALIBRATION (round-4 fix): the rate MUST come from the workers'
+    internal stopwatches (``_burn_bw`` returns its timed-loop elapsed),
+    not the outer ``p.map`` wall.  The outer wall includes Pool fork —
+    seconds when forking a process that has had a Spark JVM/pyspark
+    resident, as every post-leg probe has — plus fresh-array page
+    faults, so the outer-wall version read 0.2-0.5 GB/s on a host whose
+    true streaming rate was ~14 GB/s measured simultaneously: every leg
+    flunked the 2 GB/s bus-validity floor regardless of actual host
+    state and the gate could only ever return INCONCLUSIVE.  Aggregate
+    = total bytes / max(inner walls): concurrent workers all finish
+    within the slowest worker's window, so this never overcounts."""
     import multiprocessing as mp
-    import time as _t
 
     with mp.Pool(procs) as p:
-        p.map(_burn_bw, [n // 2] * procs)  # warm pool + fault pages
-        t0 = _t.time()
-        p.map(_burn_bw, [n] * procs)
-        return round(procs * 4 * n * 32 / (_t.time() - t0) / 1e9, 2)
+        p.map(_burn_bw, [n // 2] * procs)  # warm pool (fork+import)
+        walls = p.map(_burn_bw, [n] * procs)
+        return round(procs * 4 * n * 32 / max(walls) / 1e9, 2)
 
 
 def _burn_bw(n):
+    """Streaming burn in one worker; returns the INNER timed-loop wall
+    (allocation + page-fault warmup excluded — see _bw_quick_probe)."""
     import numpy as _np
     import time as _t
 
@@ -540,18 +579,29 @@ def _burn_bw(n):
     return _t.time() - t0
 
 
+def _burn_t(n):
+    """CPU burn in one worker; returns the inner elapsed seconds."""
+    import time as _t
+
+    t0 = _t.time()
+    x = 0
+    for i in range(n):
+        x += i * i
+    return _t.time() - t0
+
+
 def _cpu_quick_probe(procs: int = 4, n: int = 4_000_000) -> float:
     """~1s fixed-shape CPU burn (always `procs` processes regardless of
     the leg's core count) measuring the host entitlement at this moment,
     in Mops/s. Run at each leg's boundaries so a pair of legs carries
-    direct evidence of the host conditions each one saw."""
+    direct evidence of the host conditions each one saw.  Rate from
+    worker-internal walls (see _bw_quick_probe calibration note)."""
     import multiprocessing as mp
-    import time as _t
 
-    t0 = _t.time()
     with mp.Pool(procs) as p:
-        p.map(_burn, [n] * procs)
-    return round(procs * n / (_t.time() - t0) / 1e6, 1)
+        p.map(_burn_t, [n // 4] * procs)  # warm pool (fork+import)
+        walls = p.map(_burn_t, [n] * procs)
+    return round(procs * n / max(walls) / 1e6, 1)
 
 
 def _pick_scaling_pair(probe: dict, bw: dict | None = None) -> tuple[int, int, dict]:
@@ -581,13 +631,6 @@ def _pick_scaling_pair(probe: dict, bw: dict | None = None) -> tuple[int, int, d
         }
     lo, hi = max(pairs, key=lambda p: effs[f"{p[0]}v{p[1]}"]["score"])
     return lo, hi, effs
-
-
-def _burn(n):
-    x = 0
-    for i in range(n):
-        x += i * i
-    return x
 
 
 # "auto" = pick the N-vs-4N window from the live cpu probe (the host's
@@ -829,20 +872,27 @@ def scaling_main() -> int:
     eff_med_all = round(statistics.median(rep_effs_corr), 3)
     ceff_med_all = round(statistics.median(rep_ceffs_corr), 3)
     # BUS-VALIDITY RULE (pre-registered, attempt-4 finding): the host's
-    # DRAM/IO system stalls for minutes at a time — per-leg streaming
-    # probes read 0.13-0.67 GB/s against a 6-23 GB/s calm baseline, an
-    # order-of-magnitude separation, and the stalled legs are exactly
-    # the ones whose walls jump 3-15x on byte-identical code (CPU
-    # probes flat; the correction above cannot repair a bus stall).  A
-    # wall measured inside that regime measures the neighbor, not the
-    # job, so a pair enters the GATE median only if BOTH legs' bus
-    # probes (min of the leg's before/after readings) cleared
-    # SPARK_GRAFT_BW_VALID_GBPS (default 2.0 — safely between the two
-    # regimes).  The unfiltered median is always reported alongside;
-    # fewer than MIN_VALID_PAIRS valid pairs -> INCONCLUSIVE, never
-    # PASS.  The filter can only discard stall-inflated pairs, not
-    # unlucky-slow ones: a stalled bus cannot produce a fast wall.
-    bw_valid = float(os.environ.get("SPARK_GRAFT_BW_VALID_GBPS", "2.0"))
+    # DRAM/IO system stalls for minutes at a time — the stalled legs'
+    # walls jump 3-15x on byte-identical code while CPU probes stay
+    # flat (the correction above cannot repair a bus stall).  A wall
+    # measured inside that regime measures the neighbor, not the job,
+    # so a pair enters the GATE median only if BOTH legs' bus probes
+    # (min of the leg's before/after readings) cleared
+    # SPARK_GRAFT_BW_VALID_GBPS.  The unfiltered median is always
+    # reported alongside; fewer than MIN_VALID_PAIRS valid pairs ->
+    # INCONCLUSIVE, never PASS.  The filter can only discard
+    # stall-inflated pairs, not unlucky-slow ones: a stalled bus cannot
+    # produce a fast wall.
+    # THRESHOLD CALIBRATION: the rule was first registered at 2.0 GB/s
+    # against an outer-wall probe whose calm baseline read 6-23 GB/s —
+    # but that probe's post-leg readings were dominated by Pool-fork
+    # cost in a pyspark-bloated process (measured 0.2-0.5 GB/s while a
+    # simultaneous clean probe read ~14 GB/s), so NO leg could ever
+    # clear it and the gate was structurally INCONCLUSIVE.  With the
+    # worker-internal-timed probe (see _bw_quick_probe) the calm
+    # baseline reads 22-41 GB/s; 6.0 GB/s keeps the same relative
+    # margins (≥3.5x below calm floor, above any wall-inflating stall).
+    bw_valid = float(os.environ.get("SPARK_GRAFT_BW_VALID_GBPS", "6.0"))
     min_valid_pairs = 3
     valid_reps = [
         r
@@ -883,12 +933,17 @@ def scaling_main() -> int:
             "minute-scale entitlement swings (raw walls for identical code "
             "observed drifting 20x). Median, not max, so one lucky pair "
             "cannot pass the gate nor one throttled pair fail it.\n"
-            "Bus validity (pre-registered): the host's DRAM/IO system "
-            "stalls for minutes at a time — per-leg streaming probes read "
-            "0.1-0.7 GB/s against a 6-23 GB/s calm baseline (order-of-"
-            "magnitude separation; full disclosure in the attempt-4 "
-            "revision of this file), and exactly those legs' walls jump "
-            "3-15x on byte-identical code while CPU probes stay flat. A "
+            "Bus validity (pre-registered attempt 4; probe recalibrated "
+            "attempt 5): the host's DRAM/IO system stalls for minutes at "
+            "a time, and exactly the stalled legs' walls jump 3-15x on "
+            "byte-identical code while CPU probes stay flat. The per-leg "
+            "streaming probe is timed INSIDE the burn workers (the outer "
+            "pool wall was dominated by fork cost from a pyspark-bloated "
+            "process — it read 0.2-0.5 GB/s while a simultaneous clean "
+            "probe read ~14 GB/s, making the first registration of this "
+            "rule structurally INCONCLUSIVE; worker-internal calm "
+            "baseline is 22-41 GB/s and the threshold is rescaled to "
+            "keep the same relative margins). A "
             "wall taken inside a bus stall measures the neighbor, not the "
             f"job, so a pair counts only if both legs' bus probes cleared "
             f"{bw_valid:.1f} GB/s; valid pairs this run (0-based): "
@@ -964,6 +1019,12 @@ def scaling_main() -> int:
         f"rollup_pps_{hi}": round(r32["points_per_sec"], 1),
         "scaling_efficiency": round(eff_med, 3),
         "codec_scaling_efficiency": round(ceff_med, 3),
+        "scaling_gate": gate,
+        "codec_scaling_gate": cgate,
+        "bw_valid_pairs": valid_reps,
+        "bw_valid_threshold_gbps": bw_valid,
+        "scaling_efficiency_allpairs": eff_med_all,
+        "codec_scaling_efficiency_allpairs": ceff_med_all,
         "scaling_efficiency_bestof": round(eff, 3),
         "codec_scaling_efficiency_bestof": round(ceff, 3),
         "rep_paired_efficiencies": {"rollup": rep_effs, "codec": rep_ceffs},
