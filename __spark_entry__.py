@@ -1174,6 +1174,102 @@ SELECT CAST(vec_id AS VARCHAR) AS doc_id, true AS ok FROM embeddings
 """
 
 
+def _raw_tier_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length integer sequences for the raw-tier read gates:
+    tokens = half-up-rounded 1000x of the first (8 + vec_id % 57)
+    embedding dims, so lengths span 8..64 and time pruning has real
+    work (blocks shorter than the query range get skipped).  Double
+    math on both engines (the embedding_quantize_int8 recipe)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").cast("string").alias("doc_id"),
+        F.lit("emb").alias("source"),
+        F.transform(
+            F.slice(
+                F.col("embedding"),
+                F.lit(1),
+                (F.pmod(F.col("vec_id"), F.lit(57)) + F.lit(8)).cast("int"),
+            ),
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast(
+                "int"
+            ),
+        ).alias("tokens"),
+    )
+
+
+_RAW_T0 = 1704067200  # codec implicit-index epoch (compress_sequences default)
+
+
+def _q_raw_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-tier time-range read: encode -> metadata time-prune (81/500
+    blocks skipped at sf0.01 without touching payloads) -> decode
+    survivors -> exact row filter -> per-series aggregate.  The oracle
+    computes the same aggregate from the UNCOMPRESSED table, so the
+    hash gate certifies prune + Gorilla decode + implicit-timestamp
+    reconstruction end-to-end at value level."""
+    from tsclust_spark.kernels.codec import compress_sequences
+    from tsclust_spark.operators.rawquery import raw_range_stats
+
+    blocks = compress_sequences(_raw_tier_fixture(spark, sf_dir))
+    out = raw_range_stats(blocks, _RAW_T0 + 16, _RAW_T0 + 47)
+    return out.select(
+        "doc_id",
+        "n_pts",
+        F.col("sum_val").cast("bigint").alias("sum_val"),
+        "min_val",
+        "max_val",
+    )
+
+
+_SQL_RAW_RANGE_SCAN = """
+WITH s AS (
+  SELECT CAST(vec_id AS VARCHAR) AS doc_id,
+         list_transform(embedding[1 : CAST((vec_id % 57) + 8 AS INT)],
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS INT)) AS toks
+  FROM embeddings
+), sel AS (
+  SELECT doc_id, toks[17:48] AS w FROM s WHERE len(toks) > 16
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_pts,
+       CAST(list_sum(w) AS BIGINT) AS sum_val,
+       list_min(w) AS min_val,
+       list_max(w) AS max_val
+FROM sel
+"""
+
+
+def _q_raw_value_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-tier threshold scan over encode-time v_min/v_max block stats
+    (compress_sequences(with_stats=True)): decode only blocks whose
+    recorded max clears the threshold, then exact row filter.  Oracle
+    filters the uncompressed table directly."""
+    from tsclust_spark.kernels.codec import compress_sequences
+    from tsclust_spark.operators.rawquery import raw_value_scan
+
+    blocks = compress_sequences(
+        _raw_tier_fixture(spark, sf_dir), with_stats=True
+    )
+    return raw_value_scan(blocks, 300)
+
+
+_SQL_RAW_VALUE_SCAN = """
+WITH s AS (
+  SELECT CAST(vec_id AS VARCHAR) AS doc_id,
+         list_transform(embedding[1 : CAST((vec_id % 57) + 8 AS INT)],
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS INT)) AS toks
+  FROM embeddings
+), f AS (
+  SELECT doc_id, list_filter(toks, x -> x >= 300) AS hits FROM s
+)
+SELECT doc_id,
+       CAST(len(hits) AS BIGINT) AS n_hits,
+       list_max(hits) AS max_val
+FROM f
+WHERE len(hits) > 0
+"""
+
+
 def _q_dtw_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C26/C13 hash-gate: per pair of a bounded block, the O(n·band)
     banded DTW kernel must agree with the masked full-DP recurrence —
@@ -2731,6 +2827,8 @@ DRIVER_WINDOW = 50
 # r3-green, code unchanged since their CORRECTNESS_r03 hash-green row,
 # each with redundant local coverage (pytest and/or a shared oracle).
 _BEYOND_WINDOW_VETERANS = [
+    "sample_docs_10pct",     # pure function of (seed, id); r3-green; pytest tests/test_sampling.py
+    "cap_docs_per_source",   # pure function of (seed, id); r3-green; pytest tests/test_sampling.py
     "split_assign",          # pure function of (seed, id); r3-green; pytest tests/test_sampling.py
     "fast1m_arrow",          # shares _SQL_FAST1M with in-window fast1m_jvm
     "token_count",           # map-only JVM expr; pytest tests/test_textstats.py
@@ -2778,6 +2876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_flags": _q_gopher_flags,
         "psi_view_vs_purchase": _q_psi_view_vs_purchase,
         "codec_roundtrip": _q_codec_roundtrip,
+        "raw_range_scan": _q_raw_range_scan,
+        "raw_value_scan": _q_raw_value_scan,
         # --- stable in-window queries (r3-green) ---
         "window_rep_1h": _q_window_rep_1h,
         "dtw_selfcheck": _q_dtw_selfcheck,
@@ -2805,9 +2905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg_1h": _q_time_weighted_avg_1h,
         "counter_delta_1h": _q_counter_delta_1h,
         "tier_histogram_1h": _q_tier_histogram_1h,
+        # --- beyond the driver window: _BEYOND_WINDOW_VETERANS ---
         "sample_docs_10pct": _q_sample_docs_10pct,
         "cap_docs_per_source": _q_cap_docs_per_source,
-        # --- beyond the driver window: _BEYOND_WINDOW_VETERANS ---
         "split_assign": _q_split_assign,
         "fast1m_arrow": _q_fast1m_arrow,
         "token_count": _q_token_count,
@@ -2833,6 +2933,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "window_rep_1h": _SQL_WINDOW_REP_1H,
         "codec_roundtrip": _SQL_CODEC_ROUNDTRIP,
+        "raw_range_scan": _SQL_RAW_RANGE_SCAN,
+        "raw_value_scan": _SQL_RAW_VALUE_SCAN,
         # the DTW/cluster kernels are non-SQL-expressible; their driver
         # gates assert kernel self-consistency + invariants as booleans
         # against constant-true oracles (values oracled in tests/)

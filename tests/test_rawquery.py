@@ -1,0 +1,130 @@
+"""Pruned raw-tier reads (operators/rawquery.py): pruning must be
+invisible to results — every pruned plan returns row-identical output
+to the decode-everything plan — and the encode-time v_min/v_max stats
+must match the decoded truth per block."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tsclust_spark.kernels.codec import compress_sequences, decompress_blocks
+from tsclust_spark.operators.rawquery import (
+    prune_blocks_by_time,
+    prune_counts,
+    raw_range_points,
+    raw_range_stats,
+    raw_value_scan,
+    with_time_bounds,
+)
+
+T0 = 1704067200
+
+
+@pytest.fixture(scope="module")
+def seq(spark):
+    """1000 smoke rows, ~5% empty token arrays, variable lengths."""
+    from tsclust_spark.sources.datagen import read_sequences
+
+    return read_sequences(spark, "smoke").cache()
+
+
+@pytest.fixture(scope="module")
+def blocks(seq):
+    return compress_sequences(seq, with_stats=True).cache()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_time_bounds_shape(blocks):
+    b = with_time_bounds(blocks).select("n", "t_min", "t_max").collect()
+    for r in b:
+        if r["n"] == 0:
+            assert r["t_max"] < r["t_min"]  # empty: unselectable
+        else:
+            assert r["t_max"] == r["t_min"] + r["n"] - 1
+
+
+def test_range_prune_is_invisible(seq, blocks):
+    t_lo, t_hi = T0 + 10, T0 + 40
+    pruned = raw_range_points(blocks, t_lo, t_hi)
+    # decode-everything twin: same decode + filter, no metadata prune
+    dec = decompress_blocks(blocks)
+    full = (
+        dec.select("doc_id", "t0", F.posexplode("tokens").alias("pos", "v"))
+        .select(
+            "doc_id",
+            (F.col("t0") + F.col("pos").cast("long")).alias("ts"),
+            F.col("v").alias("value"),
+        )
+        .filter((F.col("ts") >= t_lo) & (F.col("ts") <= t_hi))
+    )
+    assert _rows(pruned) == _rows(full)
+
+
+def test_range_prune_actually_prunes(blocks):
+    # range past the short blocks' end: every block shorter than 200
+    # points must be skipped from metadata alone
+    counts = prune_counts(blocks, t_lo=T0 + 200, t_hi=T0 + 220)
+    assert counts["time_pruned"] > 0
+    assert counts["time_kept"] + counts["time_pruned"] == counts["total_blocks"]
+    kept = prune_blocks_by_time(blocks, T0 + 200, T0 + 220)
+    assert kept.filter(F.col("n") <= 200).count() == 0
+
+
+def test_range_stats_match_uncompressed(seq, blocks):
+    """Aggregate over the compressed tier == aggregate over the source
+    sequence table (the driver-gate shape, asserted locally too)."""
+    t_lo, t_hi = T0 + 5, T0 + 25
+    got = _rows(raw_range_stats(blocks, t_lo, t_hi))
+    want = _rows(
+        seq.select("doc_id", F.posexplode("tokens").alias("pos", "v"))
+        .filter((F.col("pos") >= 5) & (F.col("pos") <= 25))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.sum("v").alias("sum_val"),
+            F.min("v").alias("min_val"),
+            F.max("v").alias("max_val"),
+        )
+    )
+    assert got == want
+
+
+def test_value_stats_match_decoded_truth(blocks):
+    dec = decompress_blocks(blocks).select(
+        "doc_id",
+        F.array_min("tokens").cast("bigint").alias("d_min"),
+        F.array_max("tokens").cast("bigint").alias("d_max"),
+    )
+    joined = blocks.select("doc_id", "n", "v_min", "v_max").join(
+        dec, "doc_id"
+    )
+    bad = joined.filter(
+        (
+            (F.col("n") > 0)
+            & (
+                (F.col("v_min") != F.col("d_min"))
+                | (F.col("v_max") != F.col("d_max"))
+            )
+        )
+        | ((F.col("n") == 0) & F.col("v_min").isNotNull())
+    )
+    assert bad.count() == 0
+
+
+def test_value_scan_prune_is_invisible(seq, blocks):
+    thresh = 1050  # walk base 1000, clip [0, 50257]: some rows excursion past it, many never do
+    got = _rows(raw_value_scan(blocks, thresh))
+    want = _rows(
+        seq.select("doc_id", F.explode("tokens").alias("v"))
+        .filter(F.col("v") >= thresh)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max("v").alias("max_val"),
+        )
+    )
+    assert got == want
+    counts = prune_counts(blocks, value_threshold=thresh)
+    assert counts["value_kept"] + counts["value_pruned"] == counts["total_blocks"]

@@ -606,8 +606,19 @@ COMPRESSED_SCHEMA = (
     "dod binary, xor binary"
 )
 
+# with_stats=True appends per-block value bounds for scan pruning
+# (operators/rawquery.py): computed DURING encoding from the same flat
+# buffer, so they are free at write time and available at read time
+# without decoding — the parquet row-group min/max story, one level up.
+COMPRESSED_SCHEMA_STATS = COMPRESSED_SCHEMA + ", v_min bigint, v_max bigint"
 
-def compress_sequences(seq_df, t0_epoch: int = 1704067200, step_seconds: int = 1):
+
+def compress_sequences(
+    seq_df,
+    t0_epoch: int = 1704067200,
+    step_seconds: int = 1,
+    with_stats: bool = False,
+):
     """Sequence table -> compressed blocks (SURVEY.md §1.3 struct).
 
     Runs inside ``mapInArrow``: the list column's flat values buffer and
@@ -621,6 +632,10 @@ def compress_sequences(seq_df, t0_epoch: int = 1704067200, step_seconds: int = 1
       cross-row-vectorized :func:`encode_xor_batch` (3x on short rows,
       where per-call overhead dominates); long rows encode per row
       (slightly less index traffic). Both byte-identical.
+    - ``with_stats=True`` adds ``v_min``/``v_max`` per block (null for
+      empty blocks) via segment reduceat over the flat buffer — the
+      metadata :func:`tsclust_spark.operators.rawquery.prune_blocks_by_value`
+      prunes on.
     """
 
     def encode(batches: Iterator) -> Iterator:
@@ -635,16 +650,17 @@ def compress_sequences(seq_df, t0_epoch: int = 1704067200, step_seconds: int = 1
                 blob = dod_cache[n] = encode_dod(ts)
             return blob
 
-        out_schema = pa.schema(
-            [
-                ("doc_id", pa.string()),
-                ("source", pa.string()),
-                ("n", pa.int32()),
-                ("t0", pa.int64()),
-                ("dod", pa.binary()),
-                ("xor", pa.binary()),
-            ]
-        )
+        fields = [
+            ("doc_id", pa.string()),
+            ("source", pa.string()),
+            ("n", pa.int32()),
+            ("t0", pa.int64()),
+            ("dod", pa.binary()),
+            ("xor", pa.binary()),
+        ]
+        if with_stats:
+            fields += [("v_min", pa.int64()), ("v_max", pa.int64())]
+        out_schema = pa.schema(fields)
         for batch in batches:
             tok = batch.column(batch.schema.get_field_index("tokens"))
             lengths = np.asarray(
@@ -663,23 +679,39 @@ def compress_sequences(seq_df, t0_epoch: int = 1704067200, step_seconds: int = 1
                     for r in range(lengths.size)
                 ]
             dod_out = [dod_for(int(n)) for n in lengths]
-            yield pa.RecordBatch.from_arrays(
-                [
-                    batch.column(batch.schema.get_field_index("doc_id")),
-                    batch.column(batch.schema.get_field_index("source")),
-                    pa.array(lengths.astype(np.int32), pa.int32()),
-                    pa.array(
-                        np.full(lengths.size, t0_epoch, dtype=np.int64),
-                        pa.int64(),
-                    ),
-                    pa.array(dod_out, pa.binary()),
-                    pa.array(xor_out, pa.binary()),
-                ],
-                schema=out_schema,
-            )
+            arrays = [
+                batch.column(batch.schema.get_field_index("doc_id")),
+                batch.column(batch.schema.get_field_index("source")),
+                pa.array(lengths.astype(np.int32), pa.int32()),
+                pa.array(
+                    np.full(lengths.size, t0_epoch, dtype=np.int64),
+                    pa.int64(),
+                ),
+                pa.array(dod_out, pa.binary()),
+                pa.array(xor_out, pa.binary()),
+            ]
+            if with_stats:
+                # segment min/max over the flat buffer: reduceat with
+                # empty segments dropped (an empty segment would wrongly
+                # read the NEXT segment's first element), then scattered
+                # back with a null mask for the empty rows
+                nonempty = lengths > 0
+                vmin = np.zeros(lengths.size, dtype=np.int64)
+                vmax = np.zeros(lengths.size, dtype=np.int64)
+                if values.size:
+                    bounds = np.concatenate(([0], np.cumsum(lengths)))
+                    starts = bounds[:-1][nonempty]
+                    vmin[nonempty] = np.minimum.reduceat(values, starts)
+                    vmax[nonempty] = np.maximum.reduceat(values, starts)
+                arrays += [
+                    pa.Array.from_pandas(vmin, mask=~nonempty, type=pa.int64()),
+                    pa.Array.from_pandas(vmax, mask=~nonempty, type=pa.int64()),
+                ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     return seq_df.select("doc_id", "source", "tokens").mapInArrow(
-        encode, schema=COMPRESSED_SCHEMA
+        encode,
+        schema=COMPRESSED_SCHEMA_STATS if with_stats else COMPRESSED_SCHEMA,
     )
 
 
