@@ -216,6 +216,22 @@ NOTES = {
         "the gate certifies the production raw-tier read path "
         "(decompress_blocks uses the same batch decoders)."
     ),
+    "raw_range_scan": (
+        "Pruned raw-tier range read: the time predicate is a Filter on "
+        "plain int64 columns (t0, n) SITTING BEFORE the decode "
+        "ArrowEvalPython node — blocks outside the range never reach "
+        "the Python decoder, and on a materialized blocks table the "
+        "same predicate prunes parquet row groups via min/max stats. "
+        "The only Exchange is the final per-series aggregate, over "
+        "rows already reduced to the requested window."
+    ),
+    "raw_value_scan": (
+        "Stats-pruned threshold scan: the v_max >= T filter (encode-"
+        "time block stats) runs JVM-side before decode, so only blocks "
+        "that can contain a hit pay decompression. Same shape a "
+        "TSDB's block-index scan has at 100 TB: metadata first, "
+        "payload second."
+    ),
 }
 
 
