@@ -128,3 +128,68 @@ def test_value_scan_prune_is_invisible(seq, blocks):
     assert got == want
     counts = prune_counts(blocks, value_threshold=thresh)
     assert counts["value_kept"] + counts["value_pruned"] == counts["total_blocks"]
+
+
+def test_staggered_t0_structural_prune(spark, seq):
+    """Per-row start times (compress_sequences(t0_col=...)): block time
+    ranges stagger like real ingest, so a narrow window prunes MOST
+    blocks (structural, not payload-proportional) while results stay
+    identical to the decode-everything twin."""
+    staggered = seq.withColumn(
+        "start_ts",
+        (F.lit(T0) + F.xxhash64("doc_id") % 1_000_000).cast("long"),
+    )
+    blk = compress_sequences(
+        staggered, t0_col="start_ts", with_stats=True
+    ).cache()
+    # recorded t0 must be the row's own start
+    joined = blk.select("doc_id", "t0").join(
+        staggered.select("doc_id", "start_ts"), "doc_id"
+    )
+    assert joined.filter(F.col("t0") != F.col("start_ts")).count() == 0
+
+    t_lo, t_hi = T0 + 10_000, T0 + 30_000
+    counts = prune_counts(blk, t_lo=t_lo, t_hi=t_hi)
+    # ~2% of the 1M-second stagger window intersects [10k, 30k] (+ long
+    # blocks starting earlier): structurally most blocks are skipped
+    assert counts["time_pruned"] > counts["total_blocks"] * 0.8
+
+    got = _rows(raw_range_points(blk, t_lo, t_hi))
+    want = _rows(
+        decompress_blocks(blk)
+        .select("doc_id", "t0", F.posexplode("tokens").alias("pos", "v"))
+        .select(
+            "doc_id",
+            (F.col("t0") + F.col("pos").cast("long")).alias("ts"),
+            F.col("v").alias("value"),
+        )
+        .filter((F.col("ts") >= t_lo) & (F.col("ts") <= t_hi))
+    )
+    assert got == want
+    blk.unpersist()
+
+
+def test_staggered_t0_dod_blob_encodes_own_start(spark, seq):
+    """The dod blob stores the row's own timeline: decoding it yields
+    t0 + arange(n) for that row (memoization keyed by (t0, n), so two
+    rows with different starts never share a blob)."""
+    import numpy as np
+
+    from tsclust_spark.kernels.codec import decode_dod
+
+    staggered = seq.filter(F.size("tokens") > 0).withColumn(
+        "start_ts",
+        (F.lit(T0) + F.xxhash64("doc_id") % 1_000_000).cast("long"),
+    )
+    rows = (
+        compress_sequences(staggered, t0_col="start_ts")
+        .select("t0", "n", "dod")
+        .limit(5)
+        .collect()
+    )
+    for r in rows:
+        ts = decode_dod(bytes(r["dod"]))
+        assert ts[0] == r["t0"]
+        assert np.array_equal(
+            np.asarray(ts), r["t0"] + np.arange(r["n"], dtype=np.int64)
+        )

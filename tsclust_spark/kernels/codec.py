@@ -618,6 +618,7 @@ def compress_sequences(
     t0_epoch: int = 1704067200,
     step_seconds: int = 1,
     with_stats: bool = False,
+    t0_col: str | None = None,
 ):
     """Sequence table -> compressed blocks (SURVEY.md §1.3 struct).
 
@@ -625,9 +626,16 @@ def compress_sequences(
     value lengths feed numpy directly (no pandas, no per-row objects).
 
     - Timestamps follow the implicit-index model ``t0 + pos*step``, so a
-      row's dod blob is a pure function of its LENGTH — blobs are
-      memoized per distinct length within the task (the encoder itself
-      stays general for arbitrary timestamps).
+      row's dod blob is a pure function of its (start, LENGTH) — blobs
+      are memoized per distinct pair within the task (the encoder
+      itself stays general for arbitrary timestamps).
+    - ``t0_col``: optional int64 column holding each sequence's OWN
+      start time (staggered ingest). With a shared ``t0_epoch`` every
+      block covers [t0, t0+n); a time-range predicate can then only
+      prune short blocks (payload-proportional savings, see
+      BENCH/ADDENDUM.md). With per-row starts, block time ranges are
+      disjoint-ish and :func:`...rawquery.prune_blocks_by_time`
+      becomes structural — the 100 TB ingest shape.
     - Values: short-row batches (< 512 tokens mean) use the
       cross-row-vectorized :func:`encode_xor_batch` (3x on short rows,
       where per-call overhead dominates); long rows encode per row
@@ -641,13 +649,13 @@ def compress_sequences(
     def encode(batches: Iterator) -> Iterator:
         import pyarrow as pa
 
-        dod_cache: dict[int, bytes] = {}
+        dod_cache: dict[tuple[int, int], bytes] = {}
 
-        def dod_for(n: int) -> bytes:
-            blob = dod_cache.get(n)
+        def dod_for(t0: int, n: int) -> bytes:
+            blob = dod_cache.get((t0, n))
             if blob is None:
-                ts = t0_epoch + np.arange(n, dtype=np.int64) * step_seconds
-                blob = dod_cache[n] = encode_dod(ts)
+                ts = t0 + np.arange(n, dtype=np.int64) * step_seconds
+                blob = dod_cache[(t0, n)] = encode_dod(ts)
             return blob
 
         fields = [
@@ -678,15 +686,23 @@ def compress_sequences(
                     encode_xor(values[bounds[r] : bounds[r + 1]])
                     for r in range(lengths.size)
                 ]
-            dod_out = [dod_for(int(n)) for n in lengths]
+            if t0_col is not None:
+                t0s = (
+                    batch.column(batch.schema.get_field_index(t0_col))
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+            else:
+                t0s = np.full(lengths.size, t0_epoch, dtype=np.int64)
+            dod_out = [
+                dod_for(int(t0s[r]), int(lengths[r]))
+                for r in range(lengths.size)
+            ]
             arrays = [
                 batch.column(batch.schema.get_field_index("doc_id")),
                 batch.column(batch.schema.get_field_index("source")),
                 pa.array(lengths.astype(np.int32), pa.int32()),
-                pa.array(
-                    np.full(lengths.size, t0_epoch, dtype=np.int64),
-                    pa.int64(),
-                ),
+                pa.array(t0s, pa.int64()),
                 pa.array(dod_out, pa.binary()),
                 pa.array(xor_out, pa.binary()),
             ]
@@ -709,7 +725,8 @@ def compress_sequences(
                 ]
             yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
-    return seq_df.select("doc_id", "source", "tokens").mapInArrow(
+    cols = ["doc_id", "source", "tokens"] + ([t0_col] if t0_col else [])
+    return seq_df.select(*cols).mapInArrow(
         encode,
         schema=COMPRESSED_SCHEMA_STATS if with_stats else COMPRESSED_SCHEMA,
     )
