@@ -2781,6 +2781,60 @@ WHERE n_overlap >= 5 AND raw_r IS NOT NULL AND NOT isnan(raw_r)
 """
 
 
+def _q_acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation at lags 1..3 (pandas-autocorr
+    semantics): window lag in (ts, event_id) total order + ANSI-safe
+    covar/stddev aggregate. Value-level twin in DuckDB."""
+    from tsclust_spark.operators.acf import acf
+
+    ev = _load(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    out = acf(
+        ev,
+        lags=(1, 2, 3),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        "n_1",
+        _sround("acf_1", 6).alias("acf_1"),
+        "n_2",
+        _sround("acf_2", 6).alias("acf_2"),
+        "n_3",
+        _sround("acf_3", 6).alias("acf_3"),
+    )
+
+
+def _sql_acf_lag(k: int) -> str:
+    v = f"CASE WHEN l{k} IS NOT NULL THEN value END"
+    raw = (
+        f"covar_samp({v}, l{k})"
+        f" / nullif(stddev_samp({v}) * stddev_samp(l{k}), 0.0)"
+    )
+    return (
+        f"CAST(count(l{k}) AS BIGINT) AS n_{k}, "
+        f"{_sql_round(raw, 6)} AS acf_{k}"
+    )
+
+
+_SQL_ACF_EVENTS = f"""
+WITH o AS (
+  SELECT user_id, value,
+         lag(value, 1) OVER w AS l1,
+         lag(value, 2) OVER w AS l2,
+         lag(value, 3) OVER w AS l3
+  FROM events
+  WHERE user_id <= 50
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, {_sql_acf_lag(1)}, {_sql_acf_lag(2)}, {_sql_acf_lag(3)}
+FROM o
+GROUP BY user_id
+"""
+
+
 def _q_dtw_pruned_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LB_Keogh pruning hash-gate (dtw_selfcheck pattern): per pair,
     the bound must lower-bound the banded DTW AND pruning at eps must
@@ -2827,6 +2881,7 @@ DRIVER_WINDOW = 50
 # r3-green, code unchanged since their CORRECTNESS_r03 hash-green row,
 # each with redundant local coverage (pytest and/or a shared oracle).
 _BEYOND_WINDOW_VETERANS = [
+    "dedup_ngram_jaccard",   # r3-green; bounded-input direct Jaccard — dedup keeps 4 in-window gates (exact/minhash/groups_cc/simhash)
     "sample_docs_10pct",     # pure function of (seed, id); r3-green; pytest tests/test_sampling.py
     "cap_docs_per_source",   # pure function of (seed, id); r3-green; pytest tests/test_sampling.py
     "split_assign",          # pure function of (seed, id); r3-green; pytest tests/test_sampling.py
@@ -2878,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip": _q_codec_roundtrip,
         "raw_range_scan": _q_raw_range_scan,
         "raw_value_scan": _q_raw_value_scan,
+        "acf_events": _q_acf_events,
         # --- stable in-window queries (r3-green) ---
         "window_rep_1h": _q_window_rep_1h,
         "dtw_selfcheck": _q_dtw_selfcheck,
@@ -2890,7 +2946,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_invariants": _q_cluster_invariants,
         "fast1m_jvm": _q_fast1m_jvm,
         "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_groups_cc": _q_dedup_groups_cc,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -2906,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_delta_1h": _q_counter_delta_1h,
         "tier_histogram_1h": _q_tier_histogram_1h,
         # --- beyond the driver window: _BEYOND_WINDOW_VETERANS ---
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "sample_docs_10pct": _q_sample_docs_10pct,
         "cap_docs_per_source": _q_cap_docs_per_source,
         "split_assign": _q_split_assign,
@@ -2935,6 +2991,7 @@ def oracle_sql() -> dict[str, str]:
         "codec_roundtrip": _SQL_CODEC_ROUNDTRIP,
         "raw_range_scan": _SQL_RAW_RANGE_SCAN,
         "raw_value_scan": _SQL_RAW_VALUE_SCAN,
+        "acf_events": _SQL_ACF_EVENTS,
         # the DTW/cluster kernels are non-SQL-expressible; their driver
         # gates assert kernel self-consistency + invariants as booleans
         # against constant-true oracles (values oracled in tests/)

@@ -232,6 +232,13 @@ NOTES = {
         "TSDB's block-index scan has at 100 TB: metadata first, "
         "payload second."
     ),
+    "acf_events": (
+        "Single Exchange: the lag window hash-partitions on the key "
+        "and the final per-key aggregate reuses that partitioning — "
+        "no second shuffle (plan-asserted in tests/test_acf.py). All "
+        "moments are codegen aggregates; NULL-guarded division, no "
+        "UDF."
+    ),
 }
 
 
