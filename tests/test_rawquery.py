@@ -193,3 +193,52 @@ def test_staggered_t0_dod_blob_encodes_own_start(spark, seq):
         assert np.array_equal(
             np.asarray(ts), r["t0"] + np.arange(r["n"], dtype=np.int64)
         )
+
+
+def test_router_raw_leg_from_compressed_tier(spark):
+    """End-to-end tier read with the LIVE TAIL served from the
+    compressed raw tier: routed(1m tier below watermark, pruned-decode
+    blocks past it) == direct rollup of the uncompressed points."""
+    import datetime as dt
+
+    from tsclust_spark.operators.rawquery import raw_points_for_router
+    from tsclust_spark.operators.rollup import rollup_tier
+    from tsclust_spark.plans.tierquery import routed_tier_read
+
+    t0_dt = dt.datetime(2024, 1, 1)
+    t0_epoch = 1704067200  # == t0_dt UTC
+    n = 7200  # 2 hours at 1s cadence per series
+
+    rows = [(f"d{k}", "s", [((i * 37 + k * 11) % 997) for i in range(n)])
+            for k in range(5)]
+    seq = spark.createDataFrame(
+        rows, "doc_id string, source string, tokens array<int>"
+    )
+    pts = seq.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "value")
+    ).select(
+        "doc_id",
+        F.timestamp_seconds(F.lit(t0_epoch) + F.col("pos").cast("long")).alias("ts"),
+        "value",
+    )
+    blocks = compress_sequences(seq, t0_epoch=t0_epoch)
+
+    w1m = t0_dt + dt.timedelta(minutes=40)
+    t1m = rollup_tier(
+        pts.filter(F.col("ts") < F.lit(str(w1m)).cast("timestamp")), "1m"
+    ).drop("mean_value")
+    t_end = t0_dt + dt.timedelta(hours=2)
+    routed = routed_tier_read(
+        "1m",
+        t0_dt,
+        t_end,
+        {"1m": t1m},
+        {"1m": str(w1m)},
+        raw_points=raw_points_for_router(blocks, w1m, t_end),
+    )
+    direct = rollup_tier(pts, "1m")
+    cols = ["doc_id", "bucket_ts", "min_value", "max_value",
+            "sum_value", "count_value", "mean_value"]
+    a = [tuple(r) for r in routed.select(cols).orderBy("doc_id", "bucket_ts").collect()]
+    b = [tuple(r) for r in direct.select(cols).orderBy("doc_id", "bucket_ts").collect()]
+    assert a == b

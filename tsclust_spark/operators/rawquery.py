@@ -133,6 +133,39 @@ def raw_value_scan(
     )
 
 
+def _epoch(t, step_seconds: int = 1) -> int:
+    import calendar
+    import datetime as dt
+
+    if isinstance(t, dt.datetime):
+        return int(calendar.timegm(t.timetuple()))
+    return int(t)
+
+
+def raw_points_for_router(
+    blocks: DataFrame, t_lo, t_hi, step_seconds: int = 1
+) -> DataFrame:
+    """``(doc_id, ts timestamp, value)`` live-tail leg for
+    :func:`tsclust_spark.plans.tierquery.routed_tier_read` — the
+    production shape where the raw tier itself is stored COMPRESSED:
+    only blocks intersecting [t_lo, t_hi) are decompressed (metadata
+    prune), then the exact half-open row filter applies.
+
+    ``t_lo``/``t_hi``: epoch seconds or naive-UTC datetimes (the
+    engine's session timezone is UTC, session.py).
+    """
+    lo, hi = _epoch(t_lo), _epoch(t_hi)
+    # prune with the closed superset [lo, hi] (conservative, correct),
+    # exact filter is half-open like every router leg
+    pruned = prune_blocks_by_time(blocks, lo, hi, step_seconds)
+    pts = _decoded_points(pruned, step_seconds).filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+    )
+    return pts.select(
+        "doc_id", F.timestamp_seconds("ts").alias("ts"), "value"
+    )
+
+
 def prune_counts(
     blocks: DataFrame,
     t_lo: int | None = None,
