@@ -226,6 +226,45 @@ GROUP BY 1, 2
 """
 
 
+def _q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsample: per (series, pixel) keep only the
+    first/last/min/max points (<=4 rows per pixel), 64 pixels over the
+    30-day event range (40500 s width). One hash-aggregate shuffle;
+    dedup is map-side array_distinct (a point belongs to exactly one
+    pixel, so cross-bucket duplicates cannot exist)."""
+    from tsclust_spark.operators.m4 import m4_downsample
+
+    points = _load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("doc_id"), "ts", "value"
+    )
+    out = m4_downsample(points, width_seconds=40500)
+    return out.select(
+        "doc_id", "pixel", "ts", _sround("value", 6).alias("value")
+    )
+
+
+_SQL_M4_DOWNSAMPLE = f"""
+WITH a AS (
+  SELECT user_id AS doc_id,
+         epoch_us(ts) // 40500000000 AS pixel,
+         min(struct_pack(t := ts, v := value)) AS fp,
+         max(struct_pack(t := ts, v := value)) AS lp,
+         min(struct_pack(v := value, t := ts)) AS mnp,
+         max(struct_pack(v := value, t := ts)) AS mxp
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT DISTINCT doc_id, pixel, ts, {_sql_round('value', 6)} AS value
+FROM (
+  SELECT doc_id, pixel, fp.t AS ts, fp.v AS value FROM a
+  UNION ALL SELECT doc_id, pixel, lp.t, lp.v FROM a
+  UNION ALL SELECT doc_id, pixel, mnp.t, mnp.v FROM a
+  UNION ALL SELECT doc_id, pixel, mxp.t, mxp.v FROM a
+)
+"""
+
+
 def _q_realtime_cagg_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-time continuous aggregate: frozen materialized tier below a
     deliberately UN-aligned watermark, live raw tail at/after its
@@ -2902,6 +2941,7 @@ _BEYOND_WINDOW_VETERANS = [
     "top_tokens_per_source", # pytest tests/test_tfidf.py
     "hist_percentiles_1h",   # derived from in-window tier_histogram_1h
     "embedding_quantize_int8",  # pytest tests/test_similarity.py bit gate
+    "tier_firstlast_1h",     # r3-green; rotated out for m4_downsample_64px (round 4)
 ]
 
 
@@ -2934,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_range_scan": _q_raw_range_scan,
         "raw_value_scan": _q_raw_value_scan,
         "acf_events": _q_acf_events,
+        "m4_downsample_64px": _q_m4_downsample,
         # --- stable in-window queries (r3-green) ---
         "window_rep_1h": _q_window_rep_1h,
         "dtw_selfcheck": _q_dtw_selfcheck,
@@ -2955,7 +2996,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "tier_1m_events": _q_tier_1m_events,
         "tier_cascade_1h_events": _q_tier_cascade_1h_events,
-        "tier_firstlast_1h": _q_tier_firstlast_1h,
         "realtime_cagg_1m": _q_realtime_cagg_1m,
         "time_weighted_avg_1h": _q_time_weighted_avg_1h,
         "counter_delta_1h": _q_counter_delta_1h,
@@ -2982,6 +3022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens_per_source": _q_top_tokens_per_source,
         "hist_percentiles_1h": _q_hist_percentiles_1h,
         "embedding_quantize_int8": _q_quantize_int8,
+        "tier_firstlast_1h": _q_tier_firstlast_1h,
     }
 
 
@@ -2992,6 +3033,7 @@ def oracle_sql() -> dict[str, str]:
         "raw_range_scan": _SQL_RAW_RANGE_SCAN,
         "raw_value_scan": _SQL_RAW_VALUE_SCAN,
         "acf_events": _SQL_ACF_EVENTS,
+        "m4_downsample_64px": _SQL_M4_DOWNSAMPLE,
         # the DTW/cluster kernels are non-SQL-expressible; their driver
         # gates assert kernel self-consistency + invariants as booleans
         # against constant-true oracles (values oracled in tests/)

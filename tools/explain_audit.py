@@ -239,6 +239,13 @@ NOTES = {
         "moments are codegen aggregates; NULL-guarded division, no "
         "UDF."
     ),
+    "m4_downsample_64px": (
+        "M4 visualization downsample: ONE Exchange (the (key, pixel) "
+        "hash aggregate with map-side partials); the 4-candidate "
+        "dedup is a map-side array_distinct + explode — a point "
+        "belongs to exactly one pixel, so no distinct() shuffle "
+        "exists in the plan. Struct-typed min/max buffers plan as a SortAggregate (partial+final around the single Exchange)."
+    ),
 }
 
 
