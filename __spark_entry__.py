@@ -2456,14 +2456,17 @@ def _q_psi_view_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_PSI_VIEW_VS_PURCHASE = f"""
 WITH bins AS (SELECT CAST(unnest(range(20)) AS INT) AS bin),
 a AS (
+  -- value IS NOT NULL matters: DuckDB's greatest() IGNORES NULL args
+  -- (returns 0 here), so without the filter a NULL value lands in bin
+  -- 0 instead of dropping out (caught by tools/fuzz_oracle.py)
   SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 19) AS INT) AS bin,
          count(*) AS n_a
-  FROM events WHERE event_type = 'view' GROUP BY 1
+  FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1
 ),
 b AS (
   SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 19) AS INT) AS bin,
          count(*) AS n_b
-  FROM events WHERE event_type = 'purchase' GROUP BY 1
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1
 ),
 tot AS (
   -- non-NULL values only: identical to the Spark side's

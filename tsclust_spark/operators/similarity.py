@@ -41,6 +41,16 @@ def _norm(a):
     )
 
 
+def _cosine(a, b):
+    """Cosine similarity; NULL when either norm is zero (cosine is
+    undefined for a zero vector, and under ANSI mode the raw division
+    raises DIVIDE_BY_ZERO — caught by tools/fuzz_oracle.py's zero-vector
+    row). NULL matches the DuckDB oracle exactly: x/0 is NULL there,
+    and both engines sort NULLs last under ORDER BY ... DESC."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom)
+
+
 def cosine_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -63,8 +73,7 @@ def cosine_topk(
         c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
         .withColumn(
             "cosine",
-            _dot(F.col("qvec"), F.col("cvec"))
-            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+            _cosine(F.col("qvec"), F.col("cvec")),
         )
         .select("query_id", "cand_id", "cosine")
     )
@@ -139,7 +148,7 @@ def embedding_near_duplicates(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            _cosine(F.col("va"), F.col("vb")),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -175,8 +184,7 @@ def lsh_cosine_topk(
         .filter(F.col("query_id") != F.col("cand_id"))
         .withColumn(
             "cosine",
-            _dot(F.col("qvec"), F.col("cvec"))
-            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+            _cosine(F.col("qvec"), F.col("cvec")),
         )
         .select("query_id", "cand_id", "cosine")
     )
@@ -204,8 +212,8 @@ def _nearest_centroid(vec_df, centroids, vec_col: str, id_name: str):
     the dominant cost of the build. Ties break to the lowest centroid_id
     (strictly-greater fold over the id-ascending array == the old
     ``cscore DESC, centroid_id ASC`` window ordering), and the fold seeds
-    from the first element so an all-NaN row (zero vector) still gets a
-    deterministic assignment.
+    from the first element so an all-NULL-score row (zero vector) still
+    gets a deterministic assignment.
     """
     cents = centroids.agg(
         F.sort_array(F.collect_list(F.struct("centroid_id", "cvec"))).alias("_cents")
@@ -213,9 +221,13 @@ def _nearest_centroid(vec_df, centroids, vec_col: str, id_name: str):
     scored_arr = F.transform(
         F.col("_cents"),
         lambda c: F.struct(
-            (
+            # guarded like _cosine: NULL cscore for a zero-norm vector
+            # or centroid (ANSI-safe); the fold below still assigns the
+            # first (lowest-id) centroid deterministically
+            F.when(
+                (F.col("_vnorm") * _norm(c["cvec"])) > 0,
                 _dot(F.col(vec_col), c["cvec"])
-                / (F.col("_vnorm") * _norm(c["cvec"]))
+                / (F.col("_vnorm") * _norm(c["cvec"])),
             ).alias("cscore"),
             c["centroid_id"].alias("centroid_id"),
         ),
@@ -310,7 +322,7 @@ def ivf_topk(
     )
     qscored = q.join(F.broadcast(centroids)).withColumn(
         "cscore",
-        _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        _cosine(F.col("qvec"), F.col("cvec")),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("cscore").desc(), F.col("centroid_id").asc()
@@ -325,8 +337,7 @@ def ivf_topk(
     )
     scored = cand.withColumn(
         "cosine",
-        _dot(F.col("qvec"), F.col("embedding"))
-        / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
+        _cosine(F.col("qvec"), F.col("embedding")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
