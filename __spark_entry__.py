@@ -1190,6 +1190,7 @@ SELECT user_id AS doc_id,
        {_sql_round("(list_sort(list(value)))[CAST((count(*) + 1) // 2 AS INT)]", 6)}
          AS rep_value
 FROM events
+WHERE value IS NOT NULL
 GROUP BY 1, 2
 """
 

@@ -56,16 +56,18 @@ DEFAULT_QUERIES = [
     "session_stats", "session_stats_bucketed",
     "interval_session_assign", "series_corr_pairs",
     "distinct_event_types", "approx_distinct_bounds",
-    "quantile_sketch_bounds",
+    "quantile_sketch_bounds", "window_rep_1h", "routed_tier_1h",
     # documents family: empty/whitespace/unicode/dup texts
     "dedup_exact", "dedup_minhash_lsh", "dedup_groups_cc",
     "simhash_near_dups", "dedup_ngram_jaccard", "gopher_flags",
     "token_count", "fingerprint", "language_id", "quality_score",
     "tfidf_top3", "top_tokens_per_source", "curate_docs",
     "sample_docs_10pct", "cap_docs_per_source", "split_assign",
+    "salted_source_stats",
     # embeddings family: zero / duplicate / one-hot vectors
     "cosine_topk", "lsh_topk_identical", "embedding_near_dups",
     "embedding_quantize_int8", "ivf_topk_full_probe",
+    "explode_positions", "renest_roundtrip",
 ]
 
 

@@ -49,12 +49,20 @@ def window_representative(
     The medoid (not mean) keeps the representative an *actual observed
     point* — the property barycenter downsampling needs so decompressed
     tiers stay in-vocabulary for token values.
+
+    NULL contract: the representative is the lower median of the
+    NON-NULL values; a bucket with no non-NULL values emits no row.
+    The explicit filter matters twice — collect_list silently skips
+    NULLs (so size() must count the same set the list holds), and an
+    all-NULL bucket would otherwise hit element_at(_, 0), an ANSI
+    error (caught by tools/fuzz_oracle.py).
     """
     from tsclust_spark.operators.rollup import TIER_TRUNC
 
     trunc = TIER_TRUNC[tier]
     return (
-        points_df.groupBy(
+        points_df.filter(F.col(value_col).isNotNull())
+        .groupBy(
             F.col(key_col),
             F.date_trunc(trunc, F.col(ts_col)).alias("bucket_ts"),
         )
