@@ -68,6 +68,10 @@ DEFAULT_QUERIES = [
     "cosine_topk", "lsh_topk_identical", "embedding_near_dups",
     "embedding_quantize_int8", "ivf_topk_full_probe",
     "explode_positions", "renest_roundtrip",
+    # codec / raw-tier family over embeddings: the zero vector becomes
+    # a constant-zero token sequence, the one-hot a near-constant one
+    "codec_roundtrip", "fast1m_jvm", "fast1m_arrow",
+    "raw_range_scan", "raw_value_scan",
 ]
 
 
