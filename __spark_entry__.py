@@ -265,6 +265,46 @@ FROM (
 """
 
 
+def _q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-seasonal anomalies: each point z-scored against its own
+    (series, hour-of-day) profile. The profile is keys x 24 rows —
+    broadcast back, so the point side never shuffles for the join."""
+    from tsclust_spark.operators.seasonal import seasonal_anomalies
+
+    points = _load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("doc_id"), "ts", "value"
+    )
+    out = seasonal_anomalies(points, threshold=1.8)
+    return out.select(
+        F.col("key").alias("doc_id"),
+        "ts",
+        _sround("value", 6).alias("value"),
+        "slot",
+        _sround("z", 6).alias("z"),
+    )
+
+
+_SQL_SEASONAL_ANOMALIES = f"""
+WITH pts AS (
+  SELECT user_id AS doc_id, ts, value, CAST(hour(ts) AS INT) AS slot
+  FROM events WHERE value IS NOT NULL
+),
+prof AS (
+  SELECT doc_id, slot,
+         avg(value) AS mean_value,
+         stddev_samp(value) AS std_value
+  FROM pts GROUP BY 1, 2
+)
+SELECT p.doc_id, p.ts,
+       {_sql_round('p.value', 6)} AS value,
+       p.slot,
+       {_sql_round('(p.value - prof.mean_value) / prof.std_value', 6)} AS z
+FROM pts p JOIN prof ON p.doc_id = prof.doc_id AND p.slot = prof.slot
+WHERE prof.std_value > 0
+  AND abs((p.value - prof.mean_value) / prof.std_value) >= 1.8
+"""
+
+
 def _q_realtime_cagg_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-time continuous aggregate: frozen materialized tier below a
     deliberately UN-aligned watermark, live raw tail at/after its
@@ -2946,6 +2986,7 @@ _BEYOND_WINDOW_VETERANS = [
     "hist_percentiles_1h",   # derived from in-window tier_histogram_1h
     "embedding_quantize_int8",  # pytest tests/test_similarity.py bit gate
     "tier_firstlast_1h",     # r3-green; rotated out for m4_downsample_64px (round 4)
+    "zscore_anomalies_1h",   # r3-green; rotated out for seasonal_anomalies_hod (round 4)
 ]
 
 
@@ -2979,13 +3020,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_value_scan": _q_raw_value_scan,
         "acf_events": _q_acf_events,
         "m4_downsample_64px": _q_m4_downsample,
+        "seasonal_anomalies_hod": _q_seasonal_anomalies,
         # --- stable in-window queries (r3-green) ---
         "window_rep_1h": _q_window_rep_1h,
         "dtw_selfcheck": _q_dtw_selfcheck,
         "dtw_pruned_check": _q_dtw_pruned_check,
         "tfidf_top3": _q_tfidf_top3,
         "rolling_stats_10m": _q_rolling_stats_10m,
-        "zscore_anomalies_1h": _q_zscore_anomalies_1h,
         "interval_session_assign": _q_interval_session_assign,
         "series_corr_pairs": _q_series_corr_pairs,
         "cluster_invariants": _q_cluster_invariants,
@@ -3027,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_percentiles_1h": _q_hist_percentiles_1h,
         "embedding_quantize_int8": _q_quantize_int8,
         "tier_firstlast_1h": _q_tier_firstlast_1h,
+        "zscore_anomalies_1h": _q_zscore_anomalies_1h,
     }
 
 
@@ -3038,6 +3080,7 @@ def oracle_sql() -> dict[str, str]:
         "raw_value_scan": _SQL_RAW_VALUE_SCAN,
         "acf_events": _SQL_ACF_EVENTS,
         "m4_downsample_64px": _SQL_M4_DOWNSAMPLE,
+        "seasonal_anomalies_hod": _SQL_SEASONAL_ANOMALIES,
         # the DTW/cluster kernels are non-SQL-expressible; their driver
         # gates assert kernel self-consistency + invariants as booleans
         # against constant-true oracles (values oracled in tests/)

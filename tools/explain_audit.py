@@ -239,6 +239,12 @@ NOTES = {
         "moments are codegen aggregates; NULL-guarded division, no "
         "UDF."
     ),
+    "seasonal_anomalies_hod": (
+        "Seasonal profile join: the (key, slot) profile aggregate is "
+        "one partial+final HashAggregate; the join back onto the point "
+        "side is an explicit BroadcastHashJoin (profile = keys x 24 "
+        "rows), so the fact table never shuffles for the comparison."
+    ),
     "m4_downsample_64px": (
         "M4 visualization downsample: ONE Exchange (the (key, pixel) "
         "hash aggregate with map-side partials); the 4-candidate "
