@@ -2535,6 +2535,52 @@ FROM j
 """
 
 
+def _q_holt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (alpha=0.3, beta=0.2) per user
+    series: level + trend via one lockstep mapInPandas pass; the oracle
+    recursive CTE steps the SAME literal two-state recurrence
+    (s' = 0.3*x + 0.7*(s+b); b' = 0.2*(s'-s) + 0.8*b, seeds s=x0, b=0)
+    — identical IEEE op order on both engines. NULL values are
+    excluded explicitly (a NULL would poison the recurrence as NaN on
+    one engine and NULL on the other)."""
+    from tsclust_spark.operators.holt import holt
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter((F.col("user_id") <= 10) & F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = holt(ev, alpha=0.3, beta=0.2, tiebreak_col="event_id")
+    return out.select(
+        "user_id",
+        "event_id",
+        _sround("level_value", 6).alias("level_value"),
+        _sround("trend_value", 6).alias("trend_value"),
+    )
+
+
+_SQL_HOLT_EVENTS = f"""
+WITH RECURSIVE pts AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS r
+  FROM events WHERE user_id <= 10 AND value IS NOT NULL
+),
+rec AS (
+  SELECT user_id, event_id, r, value AS s, CAST(0.0 AS DOUBLE) AS b
+  FROM pts WHERE r = 0
+  UNION ALL
+  SELECT p.user_id, p.event_id, p.r,
+         0.3 * p.value + 0.7 * (rec.s + rec.b),
+         0.2 * ((0.3 * p.value + 0.7 * (rec.s + rec.b)) - rec.s) + 0.8 * rec.b
+  FROM rec JOIN pts p ON p.user_id = rec.user_id AND p.r = rec.r + 1
+)
+SELECT user_id, event_id,
+       {_sql_round('s', 6)} AS level_value,
+       {_sql_round('b', 6)} AS trend_value
+FROM rec
+"""
+
+
 def _q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA recurrence (alpha=0.3) per user series via one
     applyInPandas pass; the oracle is a recursive CTE stepping the SAME
@@ -2987,6 +3033,7 @@ _BEYOND_WINDOW_VETERANS = [
     "embedding_quantize_int8",  # pytest tests/test_similarity.py bit gate
     "tier_firstlast_1h",     # r3-green; rotated out for m4_downsample_64px (round 4)
     "zscore_anomalies_1h",   # r3-green; rotated out for seasonal_anomalies_hod (round 4)
+    "rolling_stats_10m",     # r3-green; rotated out for holt_events (round 4)
 ]
 
 
@@ -3021,12 +3068,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_events": _q_acf_events,
         "m4_downsample_64px": _q_m4_downsample,
         "seasonal_anomalies_hod": _q_seasonal_anomalies,
+        "holt_events": _q_holt_events,
         # --- stable in-window queries (r3-green) ---
         "window_rep_1h": _q_window_rep_1h,
         "dtw_selfcheck": _q_dtw_selfcheck,
         "dtw_pruned_check": _q_dtw_pruned_check,
         "tfidf_top3": _q_tfidf_top3,
-        "rolling_stats_10m": _q_rolling_stats_10m,
         "interval_session_assign": _q_interval_session_assign,
         "series_corr_pairs": _q_series_corr_pairs,
         "cluster_invariants": _q_cluster_invariants,
@@ -3069,6 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": _q_quantize_int8,
         "tier_firstlast_1h": _q_tier_firstlast_1h,
         "zscore_anomalies_1h": _q_zscore_anomalies_1h,
+        "rolling_stats_10m": _q_rolling_stats_10m,
     }
 
 
@@ -3081,6 +3129,7 @@ def oracle_sql() -> dict[str, str]:
         "acf_events": _SQL_ACF_EVENTS,
         "m4_downsample_64px": _SQL_M4_DOWNSAMPLE,
         "seasonal_anomalies_hod": _SQL_SEASONAL_ANOMALIES,
+        "holt_events": _SQL_HOLT_EVENTS,
         # the DTW/cluster kernels are non-SQL-expressible; their driver
         # gates assert kernel self-consistency + invariants as booleans
         # against constant-true oracles (values oracled in tests/)

@@ -239,6 +239,12 @@ NOTES = {
         "moments are codegen aggregates; NULL-guarded division, no "
         "UDF."
     ),
+    "holt_events": (
+        "Holt level+trend recurrence: same single-Exchange shape as "
+        "the EWMA — repartition(key) + sortWithinPartitions + ONE "
+        "mapInPandas whose kernel advances all series in lockstep "
+        "(interpreter cost per time step per batch, not per point)."
+    ),
     "seasonal_anomalies_hod": (
         "Seasonal profile join: the (key, slot) profile aggregate is "
         "one partial+final HashAggregate; the join back onto the point "
