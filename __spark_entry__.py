@@ -2581,6 +2581,46 @@ FROM rec
 """
 
 
+def _q_trend_slope_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend slope per (series, hour): decomposable moment sums in
+    one hash aggregate; x is bucket-relative seconds (epoch-absolute x
+    would put sum(x^2) at 1e31 where float64 cancellation destroys the
+    slope). Zero-x-variance buckets yield NULL slope on both engines."""
+    from tsclust_spark.operators.trend import trend_slope
+
+    points = _load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("doc_id"), "ts", "value"
+    )
+    out = trend_slope(points, "1h")
+    return out.select(
+        F.col("key").alias("doc_id"),
+        "bucket_ts",
+        "n",
+        _sround("slope", 6).alias("slope"),
+    )
+
+
+_SQL_TREND_SLOPE_1H = f"""
+WITH pts AS (
+  SELECT user_id AS doc_id,
+         date_trunc('hour', ts) AS bucket_ts,
+         (epoch_us(ts) - epoch_us(date_trunc('hour', ts))) / 1e6 AS x,
+         value AS y
+  FROM events WHERE value IS NOT NULL
+),
+agg AS (
+  SELECT doc_id, bucket_ts, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts GROUP BY 1, 2
+)
+SELECT doc_id, bucket_ts, n,
+       {_sql_round('''CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+            THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx) END''', 6)} AS slope
+FROM agg
+"""
+
+
 def _q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA recurrence (alpha=0.3) per user series via one
     applyInPandas pass; the oracle is a recursive CTE stepping the SAME
@@ -3034,6 +3074,7 @@ _BEYOND_WINDOW_VETERANS = [
     "tier_firstlast_1h",     # r3-green; rotated out for m4_downsample_64px (round 4)
     "zscore_anomalies_1h",   # r3-green; rotated out for seasonal_anomalies_hod (round 4)
     "rolling_stats_10m",     # r3-green; rotated out for holt_events (round 4)
+    "interval_session_assign",  # r3-green; rotated out for trend_slope_1h (round 4)
 ]
 
 
@@ -3069,12 +3110,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample_64px": _q_m4_downsample,
         "seasonal_anomalies_hod": _q_seasonal_anomalies,
         "holt_events": _q_holt_events,
+        "trend_slope_1h": _q_trend_slope_1h,
         # --- stable in-window queries (r3-green) ---
         "window_rep_1h": _q_window_rep_1h,
         "dtw_selfcheck": _q_dtw_selfcheck,
         "dtw_pruned_check": _q_dtw_pruned_check,
         "tfidf_top3": _q_tfidf_top3,
-        "interval_session_assign": _q_interval_session_assign,
         "series_corr_pairs": _q_series_corr_pairs,
         "cluster_invariants": _q_cluster_invariants,
         "fast1m_jvm": _q_fast1m_jvm,
@@ -3117,6 +3158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_firstlast_1h": _q_tier_firstlast_1h,
         "zscore_anomalies_1h": _q_zscore_anomalies_1h,
         "rolling_stats_10m": _q_rolling_stats_10m,
+        "interval_session_assign": _q_interval_session_assign,
     }
 
 
@@ -3130,6 +3172,7 @@ def oracle_sql() -> dict[str, str]:
         "m4_downsample_64px": _SQL_M4_DOWNSAMPLE,
         "seasonal_anomalies_hod": _SQL_SEASONAL_ANOMALIES,
         "holt_events": _SQL_HOLT_EVENTS,
+        "trend_slope_1h": _SQL_TREND_SLOPE_1H,
         # the DTW/cluster kernels are non-SQL-expressible; their driver
         # gates assert kernel self-consistency + invariants as booleans
         # against constant-true oracles (values oracled in tests/)

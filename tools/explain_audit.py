@@ -239,6 +239,12 @@ NOTES = {
         "moments are codegen aggregates; NULL-guarded division, no "
         "UDF."
     ),
+    "trend_slope_1h": (
+        "OLS trend per bucket: the five moment sums are decomposable, "
+        "so the plan is one partial+final HashAggregate around a "
+        "single Exchange — identical shape to the tier rollups; the "
+        "slope division is a guarded Project, no second pass."
+    ),
     "holt_events": (
         "Holt level+trend recurrence: same single-Exchange shape as "
         "the EWMA — repartition(key) + sortWithinPartitions + ONE "
