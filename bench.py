@@ -170,6 +170,9 @@ def events_queries(spark, sf_dir: str) -> dict:
         "gapfill_locf",
         "gapfill_linear",
         "window_rep_1h",
+        "m4_downsample_64px",
+        "seasonal_anomalies_hod",
+        "trend_slope_1h",
         "salted_source_stats",
         "lineitem_pricing_summary",
         "topk_orders_per_customer",
