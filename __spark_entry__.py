@@ -2621,6 +2621,53 @@ FROM agg
 """
 
 
+def _q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular CUSUM (mu=10, k=0.5, h=25) per user series: one lockstep
+    mapInPandas pass; the oracle recursive CTE steps the same exact ops
+    (greatest(0, acc + d) — max has no rounding, so the twins agree
+    bit-for-bit). NULL values excluded on both sides."""
+    from tsclust_spark.operators.cusum import cusum
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter((F.col("user_id") <= 10) & F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = cusum(ev, mu=10.0, k=0.5, h=25.0, tiebreak_col="event_id")
+    return out.select(
+        "user_id",
+        "event_id",
+        _sround("cusum_hi", 6).alias("cusum_hi"),
+        _sround("cusum_lo", 6).alias("cusum_lo"),
+        "alarm",
+    )
+
+
+_SQL_CUSUM_EVENTS = f"""
+WITH RECURSIVE pts AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS r
+  FROM events WHERE user_id <= 10 AND value IS NOT NULL
+),
+rec AS (
+  SELECT user_id, event_id, r,
+         greatest(0.0, value - 10.5) AS hi,
+         greatest(0.0, 9.5 - value) AS lo
+  FROM pts WHERE r = 0
+  UNION ALL
+  SELECT p.user_id, p.event_id, p.r,
+         greatest(0.0, rec.hi + (p.value - 10.5)),
+         greatest(0.0, rec.lo + (9.5 - p.value))
+  FROM rec JOIN pts p ON p.user_id = rec.user_id AND p.r = rec.r + 1
+)
+SELECT user_id, event_id,
+       {_sql_round('hi', 6)} AS cusum_hi,
+       {_sql_round('lo', 6)} AS cusum_lo,
+       (hi > 25.0 OR lo > 25.0) AS alarm
+FROM rec
+"""
+
+
 def _q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA recurrence (alpha=0.3) per user series via one
     applyInPandas pass; the oracle is a recursive CTE stepping the SAME
@@ -3075,6 +3122,7 @@ _BEYOND_WINDOW_VETERANS = [
     "zscore_anomalies_1h",   # r3-green; rotated out for seasonal_anomalies_hod (round 4)
     "rolling_stats_10m",     # r3-green; rotated out for holt_events (round 4)
     "interval_session_assign",  # r3-green; rotated out for trend_slope_1h (round 4)
+    "series_corr_pairs",     # r3-green; rotated out for cusum_events (round 4)
 ]
 
 
@@ -3111,12 +3159,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomalies_hod": _q_seasonal_anomalies,
         "holt_events": _q_holt_events,
         "trend_slope_1h": _q_trend_slope_1h,
+        "cusum_events": _q_cusum_events,
         # --- stable in-window queries (r3-green) ---
         "window_rep_1h": _q_window_rep_1h,
         "dtw_selfcheck": _q_dtw_selfcheck,
         "dtw_pruned_check": _q_dtw_pruned_check,
         "tfidf_top3": _q_tfidf_top3,
-        "series_corr_pairs": _q_series_corr_pairs,
         "cluster_invariants": _q_cluster_invariants,
         "fast1m_jvm": _q_fast1m_jvm,
         "dedup_exact": _q_dedup_exact,
@@ -3159,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_anomalies_1h": _q_zscore_anomalies_1h,
         "rolling_stats_10m": _q_rolling_stats_10m,
         "interval_session_assign": _q_interval_session_assign,
+        "series_corr_pairs": _q_series_corr_pairs,
     }
 
 
@@ -3173,6 +3222,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_anomalies_hod": _SQL_SEASONAL_ANOMALIES,
         "holt_events": _SQL_HOLT_EVENTS,
         "trend_slope_1h": _SQL_TREND_SLOPE_1H,
+        "cusum_events": _SQL_CUSUM_EVENTS,
         # the DTW/cluster kernels are non-SQL-expressible; their driver
         # gates assert kernel self-consistency + invariants as booleans
         # against constant-true oracles (values oracled in tests/)

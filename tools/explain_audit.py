@@ -239,6 +239,11 @@ NOTES = {
         "moments are codegen aggregates; NULL-guarded division, no "
         "UDF."
     ),
+    "cusum_events": (
+        "CUSUM change-point: the EWMA/Holt single-Exchange template — "
+        "repartition(key) + in-partition sort + ONE lockstep "
+        "mapInPandas; the max(0, .) floor is exact IEEE, no rounding."
+    ),
     "trend_slope_1h": (
         "OLS trend per bucket: the five moment sums are decomposable, "
         "so the plan is one partial+final HashAggregate around a "
