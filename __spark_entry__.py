@@ -2621,6 +2621,66 @@ FROM agg
 """
 
 
+def _q_ccf_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCF between each user's daily-mean view and purchase series at
+    lags 0/1/2 days: points collapse to tier rows first (the only
+    full-data shuffle), the lag join moves tier rows only; correlation
+    from explicit moment sums, both variances guarded > 0."""
+    from tsclust_spark.operators.ccf import ccf
+
+    ev = _load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("doc_id"), "ts", "value"
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("doc_id"), "ts", "value"
+    )
+    out = ccf(a, b, lags=(0, 1, 2), tier="1d", min_pairs=3)
+    return out.select(
+        F.col("key").alias("doc_id"),
+        "lag",
+        "n_pairs",
+        _sround("ccf", 6).alias("ccf"),
+    )
+
+
+_SQL_CCF_VIEW_PURCHASE = f"""
+WITH a AS (
+  SELECT user_id AS doc_id,
+         epoch(date_trunc('day', ts)) AS e,
+         avg(value) AS a
+  FROM events WHERE event_type = 'view' AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT user_id AS doc_id,
+         epoch(date_trunc('day', ts)) AS e,
+         avg(value) AS b
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.doc_id, l.lag, a.a, b.b
+  FROM a
+  CROSS JOIN (SELECT unnest([0, 1, 2]) AS lag) l
+  JOIN b ON b.doc_id = a.doc_id AND b.e = a.e + l.lag * 86400
+),
+agg AS (
+  SELECT doc_id, lag, count(*) AS n_pairs,
+         sum(a) AS sa, sum(b) AS sb, sum(a * b) AS sab,
+         sum(a * a) AS saa, sum(b * b) AS sbb
+  FROM pairs GROUP BY 1, 2
+)
+SELECT doc_id, CAST(lag AS INT) AS lag, n_pairs,
+       {_sql_round('''CASE WHEN CAST(n_pairs AS DOUBLE) * saa - sa * sa > 0
+                       AND CAST(n_pairs AS DOUBLE) * sbb - sb * sb > 0
+            THEN (CAST(n_pairs AS DOUBLE) * sab - sa * sb)
+                 / (sqrt(CAST(n_pairs AS DOUBLE) * saa - sa * sa)
+                  * sqrt(CAST(n_pairs AS DOUBLE) * sbb - sb * sb)) END''', 6)} AS ccf
+FROM agg WHERE n_pairs >= 3
+"""
+
+
 def _q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tabular CUSUM (mu=10, k=0.5, h=25) per user series: one lockstep
     mapInPandas pass; the oracle recursive CTE steps the same exact ops
@@ -3123,6 +3183,7 @@ _BEYOND_WINDOW_VETERANS = [
     "rolling_stats_10m",     # r3-green; rotated out for holt_events (round 4)
     "interval_session_assign",  # r3-green; rotated out for trend_slope_1h (round 4)
     "series_corr_pairs",     # r3-green; rotated out for cusum_events (round 4)
+    "simhash_near_dups",     # r3-green; rotated out for ccf_view_purchase_1d (round 4)
 ]
 
 
@@ -3160,6 +3221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_events": _q_holt_events,
         "trend_slope_1h": _q_trend_slope_1h,
         "cusum_events": _q_cusum_events,
+        "ccf_view_purchase_1d": _q_ccf_view_purchase,
         # --- stable in-window queries (r3-green) ---
         "window_rep_1h": _q_window_rep_1h,
         "dtw_selfcheck": _q_dtw_selfcheck,
@@ -3170,7 +3232,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_groups_cc": _q_dedup_groups_cc,
-        "simhash_near_dups": _q_simhash_near_dups,
         "cosine_topk": _q_cosine_topk,
         "ivf_topk_full_probe": _q_ivf_topk,
         "lsh_topk_identical": _q_lsh_topk_identical,
@@ -3208,6 +3269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_stats_10m": _q_rolling_stats_10m,
         "interval_session_assign": _q_interval_session_assign,
         "series_corr_pairs": _q_series_corr_pairs,
+        "simhash_near_dups": _q_simhash_near_dups,
     }
 
 
@@ -3223,6 +3285,7 @@ def oracle_sql() -> dict[str, str]:
         "holt_events": _SQL_HOLT_EVENTS,
         "trend_slope_1h": _SQL_TREND_SLOPE_1H,
         "cusum_events": _SQL_CUSUM_EVENTS,
+        "ccf_view_purchase_1d": _SQL_CCF_VIEW_PURCHASE,
         # the DTW/cluster kernels are non-SQL-expressible; their driver
         # gates assert kernel self-consistency + invariants as booleans
         # against constant-true oracles (values oracled in tests/)

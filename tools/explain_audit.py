@@ -239,6 +239,13 @@ NOTES = {
         "moments are codegen aggregates; NULL-guarded division, no "
         "UDF."
     ),
+    "ccf_view_purchase_1d": (
+        "Lagged cross-correlation: both sides aggregate to tier rows "
+        "before anything joins (two partial+final HashAggregates over "
+        "the point scans), the lag explode is map-side, and the join "
+        "is a plain equi-join on (key, bucket epoch) over tier-sized "
+        "inputs — the point tables are never joined."
+    ),
     "cusum_events": (
         "CUSUM change-point: the EWMA/Holt single-Exchange template — "
         "repartition(key) + in-partition sort + ONE lockstep "

@@ -58,7 +58,7 @@ DEFAULT_QUERIES = [
     "distinct_event_types", "approx_distinct_bounds",
     "quantile_sketch_bounds", "window_rep_1h", "routed_tier_1h",
     "seasonal_anomalies_hod", "holt_events", "trend_slope_1h",
-    "cusum_events",
+    "cusum_events", "ccf_view_purchase_1d",
     # documents family: empty/whitespace/unicode/dup texts
     "dedup_exact", "dedup_minhash_lsh", "dedup_groups_cc",
     "simhash_near_dups", "dedup_ngram_jaccard", "gopher_flags",
@@ -125,6 +125,15 @@ def _events() -> pa.Table:
     for i in range(30):
         add(T0 + dt.timedelta(seconds=i * 1201), 7, "purchase",
             float(np.round(rng.uniform(0, 30), 2)))
+    # user 8: ten days of overlapping daily view+purchase series — CCF
+    # gets real pairs, and the purchase side is CONSTANT for the first
+    # stretch (exercises the zero-variance NULL-ccf guard cross-engine)
+    for d in range(10):
+        for j in range(2):
+            add(T0 + dt.timedelta(days=d, hours=6 + 8 * j), 8, "view",
+                float(np.round(rng.normal(10, 2), 2)))
+            add(T0 + dt.timedelta(days=d, hours=7 + 8 * j), 8, "purchase",
+                5.0 if d < 5 else float(np.round(rng.normal(20, 4), 2)))
 
     cols = list(zip(*rows))
     return pa.table(
