@@ -2623,19 +2623,19 @@ FROM agg
 
 def _q_ccf_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCF between each user's daily-mean view and purchase series at
-    lags 0/1/2 days: points collapse to tier rows first (the only
-    full-data shuffle), the lag join moves tier rows only; correlation
-    from explicit moment sums, both variances guarded > 0."""
-    from tsclust_spark.operators.ccf import ccf
+    lags 0/1/2 days: ONE scan pivots both slices' bucket means (the
+    only full-data shuffle), the lag join moves tier rows only;
+    correlation from explicit moment sums, variances guarded > 0."""
+    from tsclust_spark.operators.ccf import ccf_pivot
 
-    ev = _load(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("doc_id"), "ts", "value"
+    ev = _load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("doc_id"), "ts", "event_type", "value"
     )
-    b = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("doc_id"), "ts", "value"
-    )
-    out = ccf(a, b, lags=(0, 1, 2), tier="1d", min_pairs=3)
+    # single-scan pivot variant: both slices come from one table, so
+    # one scan + one aggregate instead of two filtered scans (the
+    # general two-table form is operators/ccf.py::ccf, pytest-equal)
+    out = ccf_pivot(ev, "view", "purchase", lags=(0, 1, 2), tier="1d",
+                    min_pairs=3)
     return out.select(
         F.col("key").alias("doc_id"),
         "lag",

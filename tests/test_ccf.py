@@ -66,3 +66,32 @@ def test_ccf_matches_bruteforce_and_finds_planted_lag(spark):
     assert got[("a", 1)][1] > abs(got[("a", 2)][1]) + 0.5
     # constant B side never produces a defined ccf
     assert all(got[("c", lag)][1] is None for lag in (0, 1, 2) if ("c", lag) in got)
+
+
+def test_pivot_variant_equals_two_table_form(spark):
+    from tsclust_spark.operators.ccf import ccf_pivot
+
+    rows = []
+    for d in range(20):
+        ts = T0 + dt.timedelta(days=d, hours=2)
+        rows.append(("k", ts, "view", float(RNG.normal(5, 2))))
+        if d % 3:  # B side misses some days (NULL-pivot buckets drop)
+            rows.append(("k", ts, "purchase", float(RNG.normal(8, 3))))
+        rows.append(("k", ts, "click", 1.0))  # third type is ignored
+    ev = spark.createDataFrame(
+        rows, "doc_id string, ts timestamp, event_type string, value double"
+    )
+    via_pivot = {
+        (r["key"], r["lag"]): (r["n_pairs"], r["ccf"])
+        for r in ccf_pivot(ev, "view", "purchase", tier="1d").collect()
+    }
+    a = ev.filter(ev.event_type == "view").select("doc_id", "ts", "value")
+    b = ev.filter(ev.event_type == "purchase").select("doc_id", "ts", "value")
+    via_two = {
+        (r["key"], r["lag"]): (r["n_pairs"], r["ccf"])
+        for r in ccf(a, b, tier="1d").collect()
+    }
+    assert set(via_pivot) == set(via_two)
+    for k in via_two:
+        assert via_pivot[k][0] == via_two[k][0]
+        assert via_pivot[k][1] == pytest.approx(via_two[k][1], rel=1e-12)

@@ -240,11 +240,13 @@ NOTES = {
         "UDF."
     ),
     "ccf_view_purchase_1d": (
-        "Lagged cross-correlation: both sides aggregate to tier rows "
-        "before anything joins (two partial+final HashAggregates over "
-        "the point scans), the lag explode is map-side, and the join "
-        "is a plain equi-join on (key, bucket epoch) over tier-sized "
-        "inputs — the point tables are never joined."
+        "Lagged cross-correlation (single-scan pivot): one point scan "
+        "+ one hash aggregate produces BOTH slices' bucket means, "
+        "lazily localCheckpoint-ed so the a/b branches reuse it — "
+        "without the checkpoint, column pruning re-plans each branch "
+        "with its own point scan (verified: the pre-checkpoint plan "
+        "had two Scan parquet nodes). Lag explode is map-side; the "
+        "join is an equi-join on (key, bucket epoch) over tier rows."
     ),
     "cusum_events": (
         "CUSUM change-point: the EWMA/Holt single-Exchange template — "

@@ -59,7 +59,54 @@ def ccf(
     seconds = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
     a = _bucketed_mean(df_a, key_col, ts_col, value_col, trunc, "a")
     b = _bucketed_mean(df_b, key_col, ts_col, value_col, trunc, "b")
+    return _ccf_from_bucketed(a, b, lags, seconds, min_pairs)
 
+
+def ccf_pivot(
+    df: DataFrame,
+    a_value: str,
+    b_value: str,
+    split_col: str = "event_type",
+    lags: Sequence[int] = (0, 1, 2),
+    tier: str = "1h",
+    min_pairs: int = 3,
+    key_col: str = "doc_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Same-table CCF with ONE scan: when A and B are two slices of the
+    same table (e.g. event_type values), :func:`ccf` would scan it
+    twice — at 100 TB the scans dominate, so this variant pivots both
+    bucket means out of a single scan + single hash aggregate
+    (``avg(when(split == a, value))`` ignores the other slice's rows
+    exactly like the filtered aggregate does), then runs the identical
+    lag join over tier rows."""
+    trunc = TIER_TRUNC[tier]
+    seconds = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
+    sp = F.col(split_col)
+    base = (
+        df.filter(F.col(value_col).isNotNull() & sp.isin(a_value, b_value))
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc(trunc, F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(
+            F.avg(F.when(sp == a_value, F.col(value_col))).alias("a"),
+            F.avg(F.when(sp == b_value, F.col(value_col))).alias("b"),
+        )
+    )
+    # materialize the tier-row base ONCE (lazy): without this, Catalyst
+    # column-prunes each branch down to its own pivot column and plans
+    # TWO point scans — exactly the double-read the pivot exists to
+    # avoid. base is tier-sized (keys x buckets), so the checkpoint is
+    # cheap next to the point scan it saves.
+    base = base.localCheckpoint(eager=False)
+    a = base.filter(F.col("a").isNotNull()).select("key", "bucket_ts", "a")
+    b = base.filter(F.col("b").isNotNull()).select("key", "bucket_ts", "b")
+    return _ccf_from_bucketed(a, b, lags, seconds, min_pairs)
+
+
+def _ccf_from_bucketed(a, b, lags, seconds, min_pairs):
     # join on integer bucket epochs (timestamp + interval*column is not
     # expressible as a plain binary op; epoch arithmetic is, and the
     # SQL twin mirrors it exactly)
