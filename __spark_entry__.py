@@ -267,14 +267,16 @@ FROM (
 
 def _q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-seasonal anomalies: each point z-scored against its own
-    (series, hour-of-day) profile. The profile is keys x 24 rows —
-    broadcast back, so the point side never shuffles for the join."""
+    (series, hour-of-day) profile. The events key set is bounded, so
+    the profile (keys x 24 rows) is force-broadcast — the point side
+    never shuffles; at unbounded key cardinality the operator's
+    broadcast_profile=False plans a shuffle join instead."""
     from tsclust_spark.operators.seasonal import seasonal_anomalies
 
     points = _load(spark, sf_dir, "events").select(
         F.col("user_id").alias("doc_id"), "ts", "value"
     )
-    out = seasonal_anomalies(points, threshold=1.8)
+    out = seasonal_anomalies(points, threshold=1.8, broadcast_profile=True)
     return out.select(
         F.col("key").alias("doc_id"),
         "ts",

@@ -8,10 +8,13 @@ flags |z| >= threshold — "this Tuesday-3am point is wild FOR
 Tuesday-3am", which a rolling z-score (operators/rolling.py) cannot
 express because its window mixes all times of day.
 
-Scale notes (100 TB): the profile is (keys x n_slots) rows — tiny next
-to the point table — so the join back is an explicit ``broadcast``:
-the fact side never shuffles. The profile aggregate itself is one
-partial+final hash aggregate (decomposable count/mean/std moments).
+Scale notes (100 TB): the profile is (keys x n_slots) rows — far
+smaller than the point table, but it SCALES WITH KEY CARDINALITY, so
+the join strategy is a caller knob (``broadcast_profile``): broadcast
+for bounded key sets (the fact side never shuffles), shuffle join on
+(key, slot) for 10^7+ series, or let AQE decide from size estimates
+(default). The profile aggregate itself is one partial+final hash
+aggregate (decomposable count/mean/std moments).
 
 NULL/degenerate contract (tools/fuzz_oracle.py class): NULL values
 drop out of both the profile and the flags; a slot with one point has
@@ -63,14 +66,25 @@ def seasonal_anomalies(
     key_col: str = "doc_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    broadcast_profile: bool | None = None,
 ) -> DataFrame:
     """Points whose value deviates >= threshold sample-stddevs from
     their own (key, slot) seasonal mean.
 
     Output: ``(key, ts, value, slot, z)`` for flagged points only.
     Slots with NULL or zero std produce no flags (z undefined).
+
+    ``broadcast_profile``: the profile is keys x n_slots rows — tiny
+    for bounded key sets (hosts, tenants: force-broadcast with True so
+    the point side never shuffles), but it SCALES WITH KEYS: at 10^7+
+    series it no longer fits an executor, so pass False to plan a
+    shuffle join on (key, slot) instead. The default None lets
+    Catalyst/AQE decide from the profile's size estimate — the right
+    call when key cardinality is unknown.
     """
     prof = seasonal_profile(df, slot, key_col, ts_col, value_col)
+    if broadcast_profile:
+        prof = F.broadcast(prof)
     s = SLOT_EXPRS[slot](F.col(ts_col))
     pts = df.filter(F.col(value_col).isNotNull()).select(
         F.col(key_col).alias("key"),
@@ -83,7 +97,7 @@ def seasonal_anomalies(
         (F.col("value") - F.col("mean_value")) / F.col("std_value"),
     )
     return (
-        pts.join(F.broadcast(prof), ["key", "slot"])
+        pts.join(prof, ["key", "slot"])
         .withColumn("z", z)
         .filter(F.abs(F.col("z")) >= threshold)
         .select("key", "ts", "value", "slot", "z")
