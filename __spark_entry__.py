@@ -2683,6 +2683,53 @@ FROM agg WHERE n_pairs >= 3
 """
 
 
+def _q_ewvar_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EW mean + variance with adaptive bands (alpha=0.3, k=3): flags a
+    point when its squared innovation vs the PRIOR state exceeds
+    k^2 * prior variance. Oracle recursive CTE steps the same IEEE ops,
+    so values AND boolean flags compare bit-identical."""
+    from tsclust_spark.operators.ewvar import ewvar
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter((F.col("user_id") <= 10) & F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = ewvar(ev, alpha=0.3, k=3.0, tiebreak_col="event_id")
+    return out.select(
+        "user_id",
+        "event_id",
+        _sround("ewma_value", 6).alias("ewma_value"),
+        _sround("ewvar_value", 6).alias("ewvar_value"),
+        "band_flag",
+    )
+
+
+_SQL_EWVAR_EVENTS = f"""
+WITH RECURSIVE pts AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS r
+  FROM events WHERE user_id <= 10 AND value IS NOT NULL
+),
+rec AS (
+  SELECT user_id, event_id, r, value AS y, CAST(0.0 AS DOUBLE) AS v,
+         false AS band_flag
+  FROM pts WHERE r = 0
+  UNION ALL
+  SELECT p.user_id, p.event_id, p.r,
+         0.7 * rec.y + 0.3 * p.value,
+         0.7 * (rec.v + 0.3 * ((p.value - rec.y) * (p.value - rec.y))),
+         ((p.value - rec.y) * (p.value - rec.y)) > 9.0 * rec.v
+  FROM rec JOIN pts p ON p.user_id = rec.user_id AND p.r = rec.r + 1
+)
+SELECT user_id, event_id,
+       {_sql_round('y', 6)} AS ewma_value,
+       {_sql_round('v', 6)} AS ewvar_value,
+       band_flag
+FROM rec
+"""
+
+
 def _q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tabular CUSUM (mu=10, k=0.5, h=25) per user series: one lockstep
     mapInPandas pass; the oracle recursive CTE steps the same exact ops
@@ -3186,6 +3233,7 @@ _BEYOND_WINDOW_VETERANS = [
     "interval_session_assign",  # r3-green; rotated out for trend_slope_1h (round 4)
     "series_corr_pairs",     # r3-green; rotated out for cusum_events (round 4)
     "simhash_near_dups",     # r3-green; rotated out for ccf_view_purchase_1d (round 4)
+    "embedding_near_dups",   # r3-green; rotated out for ewvar_events (round 4)
 ]
 
 
@@ -3224,6 +3272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slope_1h": _q_trend_slope_1h,
         "cusum_events": _q_cusum_events,
         "ccf_view_purchase_1d": _q_ccf_view_purchase,
+        "ewvar_events": _q_ewvar_events,
         # --- stable in-window queries (r3-green) ---
         "window_rep_1h": _q_window_rep_1h,
         "dtw_selfcheck": _q_dtw_selfcheck,
@@ -3237,7 +3286,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ivf_topk_full_probe": _q_ivf_topk,
         "lsh_topk_identical": _q_lsh_topk_identical,
-        "embedding_near_dups": _q_embedding_near_dups,
         "tier_1m_events": _q_tier_1m_events,
         "tier_cascade_1h_events": _q_tier_cascade_1h_events,
         "realtime_cagg_1m": _q_realtime_cagg_1m,
@@ -3272,6 +3320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_session_assign": _q_interval_session_assign,
         "series_corr_pairs": _q_series_corr_pairs,
         "simhash_near_dups": _q_simhash_near_dups,
+        "embedding_near_dups": _q_embedding_near_dups,
     }
 
 
@@ -3288,6 +3337,7 @@ def oracle_sql() -> dict[str, str]:
         "trend_slope_1h": _SQL_TREND_SLOPE_1H,
         "cusum_events": _SQL_CUSUM_EVENTS,
         "ccf_view_purchase_1d": _SQL_CCF_VIEW_PURCHASE,
+        "ewvar_events": _SQL_EWVAR_EVENTS,
         # the DTW/cluster kernels are non-SQL-expressible; their driver
         # gates assert kernel self-consistency + invariants as booleans
         # against constant-true oracles (values oracled in tests/)

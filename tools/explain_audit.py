@@ -253,6 +253,12 @@ NOTES = {
         "repartition(key) + in-partition sort + ONE lockstep "
         "mapInPandas; the max(0, .) floor is exact IEEE, no rounding."
     ),
+    "ewvar_events": (
+        "EW variance bands: same single-Exchange lockstep template; "
+        "the band flag compares bit-identical doubles (squared "
+        "innovation vs 9x prior variance), so even the booleans "
+        "hash-gate cleanly."
+    ),
     "trend_slope_1h": (
         "OLS trend per bucket: the five moment sums are decomposable, "
         "so the plan is one partial+final HashAggregate around a "
