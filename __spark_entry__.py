@@ -2730,6 +2730,39 @@ FROM rec
 """
 
 
+def _q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram surprisal per document (perplexity proxy): mean
+    -ln(count(w)/total) over the doc's tokens; vocabulary-sized
+    Exchange, empty docs emit no row on either engine."""
+    from tsclust_spark.operators.surprisal import unigram_surprisal
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = unigram_surprisal(docs)
+    return out.select(
+        "doc_id", "n_tokens", _sround("surprisal", 6).alias("surprisal")
+    )
+
+
+_SQL_UNIGRAM_SURPRISAL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(trim(text)), '\s+'),
+           x -> len(x) > 0)) AS token
+  FROM documents
+),
+freq AS (
+  SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+),
+total AS (SELECT sum(cnt) AS t FROM freq)
+SELECT toks.doc_id,
+       count(*) AS n_tokens,
+       {_sql_round('-avg(ln(CAST(freq.cnt AS DOUBLE) / CAST(total.t AS DOUBLE)))', 6)}
+         AS surprisal
+FROM toks JOIN freq ON toks.token = freq.token CROSS JOIN total
+GROUP BY 1
+"""
+
+
 def _q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tabular CUSUM (mu=10, k=0.5, h=25) per user series: one lockstep
     mapInPandas pass; the oracle recursive CTE steps the same exact ops
@@ -3234,6 +3267,7 @@ _BEYOND_WINDOW_VETERANS = [
     "series_corr_pairs",     # r3-green; rotated out for cusum_events (round 4)
     "simhash_near_dups",     # r3-green; rotated out for ccf_view_purchase_1d (round 4)
     "embedding_near_dups",   # r3-green; rotated out for ewvar_events (round 4)
+    "cosine_topk",           # r3-green; rotated out for unigram_surprisal (round 4; ivf shares _SQL_COSINE_TOPK in-window)
 ]
 
 
@@ -3273,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_events": _q_cusum_events,
         "ccf_view_purchase_1d": _q_ccf_view_purchase,
         "ewvar_events": _q_ewvar_events,
+        "unigram_surprisal": _q_unigram_surprisal,
         # --- stable in-window queries (r3-green) ---
         "window_rep_1h": _q_window_rep_1h,
         "dtw_selfcheck": _q_dtw_selfcheck,
@@ -3283,7 +3318,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_groups_cc": _q_dedup_groups_cc,
-        "cosine_topk": _q_cosine_topk,
         "ivf_topk_full_probe": _q_ivf_topk,
         "lsh_topk_identical": _q_lsh_topk_identical,
         "tier_1m_events": _q_tier_1m_events,
@@ -3321,6 +3355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_corr_pairs": _q_series_corr_pairs,
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
+        "cosine_topk": _q_cosine_topk,
     }
 
 
@@ -3338,6 +3373,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_events": _SQL_CUSUM_EVENTS,
         "ccf_view_purchase_1d": _SQL_CCF_VIEW_PURCHASE,
         "ewvar_events": _SQL_EWVAR_EVENTS,
+        "unigram_surprisal": _SQL_UNIGRAM_SURPRISAL,
         # the DTW/cluster kernels are non-SQL-expressible; their driver
         # gates assert kernel self-consistency + invariants as booleans
         # against constant-true oracles (values oracled in tests/)
