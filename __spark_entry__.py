@@ -2763,6 +2763,54 @@ GROUP BY 1
 """
 
 
+def _q_token_psi_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-drift PSI between src0 and src1 documents: per-token
+    contributions over the union vocabulary, both slices' counts
+    pivoted from ONE scan; integer counts + one literal-total division
+    keep the hash gate stable."""
+    from tsclust_spark.operators.drift import categorical_psi
+    from tsclust_spark.operators.textstats import _words
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "source",
+        F.filter(_words(F.col("text")), lambda w: F.length(w) > 0).alias("_words"),
+    )
+    out = categorical_psi(docs, "src0", "src1")
+    return out.select(
+        "token",
+        "n_a",
+        "n_b",
+        _sround("p_a", 6).alias("p_a"),
+        _sround("p_b", 6).alias("p_b"),
+        _sround("psi_token", 6).alias("psi_token"),
+    )
+
+
+_SQL_TOKEN_PSI_SOURCES = rf"""
+WITH toks AS (
+  SELECT source AS _split,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> len(x) > 0)) AS token
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+counts AS (
+  SELECT token,
+         sum(CASE WHEN _split = 'src0' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN _split = 'src1' THEN 1 ELSE 0 END) AS n_b
+  FROM toks GROUP BY 1
+),
+tot AS (SELECT greatest(sum(n_a), 1) AS ta, greatest(sum(n_b), 1) AS tb
+        FROM counts)
+SELECT token, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       {_sql_round('n_a * 1.0 / tot.ta + 1e-6', 6)} AS p_a,
+       {_sql_round('n_b * 1.0 / tot.tb + 1e-6', 6)} AS p_b,
+       {_sql_round('''(n_a * 1.0 / tot.ta + 1e-6 - (n_b * 1.0 / tot.tb + 1e-6))
+         * (ln(n_a * 1.0 / tot.ta + 1e-6) - ln(n_b * 1.0 / tot.tb + 1e-6))''', 6)}
+         AS psi_token
+FROM counts CROSS JOIN tot
+"""
+
+
 def _q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tabular CUSUM (mu=10, k=0.5, h=25) per user series: one lockstep
     mapInPandas pass; the oracle recursive CTE steps the same exact ops
@@ -3268,6 +3316,7 @@ _BEYOND_WINDOW_VETERANS = [
     "simhash_near_dups",     # r3-green; rotated out for ccf_view_purchase_1d (round 4)
     "embedding_near_dups",   # r3-green; rotated out for ewvar_events (round 4)
     "cosine_topk",           # r3-green; rotated out for unigram_surprisal (round 4; ivf shares _SQL_COSINE_TOPK in-window)
+    "lsh_topk_identical",    # r3-green; rotated out for token_psi_sources (round 4)
 ]
 
 
@@ -3308,6 +3357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_view_purchase_1d": _q_ccf_view_purchase,
         "ewvar_events": _q_ewvar_events,
         "unigram_surprisal": _q_unigram_surprisal,
+        "token_psi_sources": _q_token_psi_sources,
         # --- stable in-window queries (r3-green) ---
         "window_rep_1h": _q_window_rep_1h,
         "dtw_selfcheck": _q_dtw_selfcheck,
@@ -3319,7 +3369,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_groups_cc": _q_dedup_groups_cc,
         "ivf_topk_full_probe": _q_ivf_topk,
-        "lsh_topk_identical": _q_lsh_topk_identical,
         "tier_1m_events": _q_tier_1m_events,
         "tier_cascade_1h_events": _q_tier_cascade_1h_events,
         "realtime_cagg_1m": _q_realtime_cagg_1m,
@@ -3356,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
         "cosine_topk": _q_cosine_topk,
+        "lsh_topk_identical": _q_lsh_topk_identical,
     }
 
 
@@ -3374,6 +3424,7 @@ def oracle_sql() -> dict[str, str]:
         "ccf_view_purchase_1d": _SQL_CCF_VIEW_PURCHASE,
         "ewvar_events": _SQL_EWVAR_EVENTS,
         "unigram_surprisal": _SQL_UNIGRAM_SURPRISAL,
+        "token_psi_sources": _SQL_TOKEN_PSI_SOURCES,
         # the DTW/cluster kernels are non-SQL-expressible; their driver
         # gates assert kernel self-consistency + invariants as booleans
         # against constant-true oracles (values oracled in tests/)

@@ -73,3 +73,46 @@ def test_psi_out_of_range_clamped(spark):
     assert got[0] == (1, 0)  # -5 clamped into first bin
     assert got[3] == (1, 0)  # 99 clamped into last bin
     assert got[2] == (1, 1)  # 0.5 in bin 2 of [0,1)x4
+
+
+def test_categorical_psi_bruteforce(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tsclust_spark.operators.drift import categorical_psi
+
+    rows = [
+        ("a", ["x", "x", "y", "z"]),
+        ("a", ["x", "y"]),
+        ("b", ["x", "w", "w"]),          # w absent from slice a
+        ("b", ["y", "y", "y"]),
+        ("c", ["ignored", "tokens"]),    # third slice excluded
+        ("a", []),                        # empty doc contributes nothing
+    ]
+    df = spark.createDataFrame(rows, "source string, _words array<string>")
+    got = {r["token"]: r for r in categorical_psi(df, "a", "b").collect()}
+
+    ca, cb = {}, {}
+    for s, words in rows:
+        tgt = ca if s == "a" else cb if s == "b" else None
+        if tgt is not None:
+            for w in words:
+                tgt[w] = tgt.get(w, 0) + 1
+    ta, tb = sum(ca.values()), sum(cb.values())
+    vocab = set(ca) | set(cb)
+    assert set(got) == vocab
+    total_psi = 0.0
+    for t in vocab:
+        pa = ca.get(t, 0) / ta + 1e-6
+        pb = cb.get(t, 0) / tb + 1e-6
+        r = got[t]
+        assert r["n_a"] == ca.get(t, 0) and r["n_b"] == cb.get(t, 0)
+        assert r["p_a"] == pytest.approx(pa, rel=1e-12)
+        assert r["psi_token"] == pytest.approx(
+            (pa - pb) * (math.log(pa) - math.log(pb)), rel=1e-12
+        )
+        total_psi += r["psi_token"]
+    # w and z are one-sided tokens: their contributions dominate
+    assert got["w"]["psi_token"] > got["x"]["psi_token"]
+    assert total_psi > 0

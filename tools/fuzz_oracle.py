@@ -64,7 +64,7 @@ DEFAULT_QUERIES = [
     "simhash_near_dups", "dedup_ngram_jaccard", "gopher_flags",
     "token_count", "fingerprint", "language_id", "quality_score",
     "tfidf_top3", "top_tokens_per_source", "curate_docs",
-    "unigram_surprisal",
+    "unigram_surprisal", "token_psi_sources",
     "sample_docs_10pct", "cap_docs_per_source", "split_assign",
     "salted_source_stats",
     # embeddings family: zero / duplicate / one-hot vectors

@@ -82,3 +82,50 @@ def population_stability(
         p_b.alias("p_b"),
         ((p_a - p_b) * (F.log(p_a) - F.log(p_b))).alias("psi_bin"),
     )
+
+
+def categorical_psi(
+    df: DataFrame,
+    a_value: str,
+    b_value: str,
+    split_col: str = "source",
+    token_arr_col: str = "_words",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI over a token VOCABULARY between two corpus slices — the
+    categorical sibling of :func:`population_stability` (which bins a
+    numeric column): "did source B's word distribution drift from
+    source A's?", the standard gate before mixing a new crawl into a
+    training corpus.
+
+    ``df`` carries a pre-tokenized array column (``token_arr_col``) and
+    the slice label. Both slices' per-token counts pivot out of ONE
+    scan + ONE vocabulary-sized hash aggregate
+    (``sum(when(split == a, 1))`` — the ccf_pivot recipe, so the corpus
+    is never read twice); totals are two driver-side scalars. Tokens
+    absent from one slice get the epsilon floor, exactly like empty
+    bins in the numeric PSI.
+
+    Output: ``(token, n_a, n_b, p_a, p_b, psi_token)`` over the union
+    vocabulary; total PSI = ``sum(psi_token)``.
+    """
+    sp = F.col(split_col)
+    toks = df.filter(sp.isin(a_value, b_value)).select(
+        sp.alias("_split"), F.explode(token_arr_col).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("_split") == a_value, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_split") == b_value, 1).otherwise(0)).alias("n_b"),
+    )
+    tot = counts.select(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")).first()
+    ta, tb = max(int(tot["ta"]), 1), max(int(tot["tb"]), 1)
+    p_a = F.col("n_a").cast("double") / F.lit(float(ta)) + F.lit(eps)
+    p_b = F.col("n_b").cast("double") / F.lit(float(tb)) + F.lit(eps)
+    return counts.select(
+        "token",
+        "n_a",
+        "n_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        ((p_a - p_b) * (F.log(p_a) - F.log(p_b))).alias("psi_token"),
+    )
