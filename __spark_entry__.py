@@ -2811,6 +2811,39 @@ FROM counts CROSS JOIN tot
 """
 
 
+def _q_mp_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-profile self-check gate (the dtw_selfcheck pattern): the
+    O(n^2)-with-O(1)-updates STOMP kernel runs against the O(n^2 m)
+    brute-force oracle INSIDE the job; the driver hashes one row per
+    (series, window position) whose check_ok must be true, against a
+    SQL twin that generates the same (doc_id, pos, true) skeleton from
+    the per-series point counts. Tie-order-proof: both kernels see the
+    identical sorted array, so check_ok is invariant to duplicate-ts
+    permutations (fuzz-gated)."""
+    from tsclust_spark.kernels.matrix_profile import matrix_profile
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter((F.col("user_id") <= 5) & F.col("value").isNotNull())
+        .select(F.col("user_id").alias("doc_id"), "ts", "value")
+    )
+    out = matrix_profile(ev, m=8, self_check=True)
+    return out.select("doc_id", "pos", "check_ok")
+
+
+_SQL_MP_SELFCHECK = """
+WITH c AS (
+  SELECT user_id AS doc_id, count(value) AS n
+  FROM events WHERE user_id <= 5 AND value IS NOT NULL
+  GROUP BY 1
+)
+SELECT doc_id,
+       CAST(unnest(range(n - 8 + 1)) AS INT) AS pos,
+       true AS check_ok
+FROM c WHERE n >= 16
+"""
+
+
 def _q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tabular CUSUM (mu=10, k=0.5, h=25) per user series: one lockstep
     mapInPandas pass; the oracle recursive CTE steps the same exact ops
@@ -3317,6 +3350,7 @@ _BEYOND_WINDOW_VETERANS = [
     "embedding_near_dups",   # r3-green; rotated out for ewvar_events (round 4)
     "cosine_topk",           # r3-green; rotated out for unigram_surprisal (round 4; ivf shares _SQL_COSINE_TOPK in-window)
     "lsh_topk_identical",    # r3-green; rotated out for token_psi_sources (round 4)
+    "dedup_minhash_lsh",     # r3-green; rotated out for mp_selfcheck (round 4; dedup_groups_cc runs the same minhash pair stage in-window)
 ]
 
 
@@ -3358,6 +3392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewvar_events": _q_ewvar_events,
         "unigram_surprisal": _q_unigram_surprisal,
         "token_psi_sources": _q_token_psi_sources,
+        "mp_selfcheck": _q_mp_selfcheck,
         # --- stable in-window queries (r3-green) ---
         "window_rep_1h": _q_window_rep_1h,
         "dtw_selfcheck": _q_dtw_selfcheck,
@@ -3366,7 +3401,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_invariants": _q_cluster_invariants,
         "fast1m_jvm": _q_fast1m_jvm,
         "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_groups_cc": _q_dedup_groups_cc,
         "ivf_topk_full_probe": _q_ivf_topk,
         "tier_1m_events": _q_tier_1m_events,
@@ -3406,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "cosine_topk": _q_cosine_topk,
         "lsh_topk_identical": _q_lsh_topk_identical,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
     }
 
 
@@ -3425,6 +3460,7 @@ def oracle_sql() -> dict[str, str]:
         "ewvar_events": _SQL_EWVAR_EVENTS,
         "unigram_surprisal": _SQL_UNIGRAM_SURPRISAL,
         "token_psi_sources": _SQL_TOKEN_PSI_SOURCES,
+        "mp_selfcheck": _SQL_MP_SELFCHECK,
         # the DTW/cluster kernels are non-SQL-expressible; their driver
         # gates assert kernel self-consistency + invariants as booleans
         # against constant-true oracles (values oracled in tests/)
