@@ -253,6 +253,23 @@ NOTES = {
         "repartition(key) + in-partition sort + ONE lockstep "
         "mapInPandas; the max(0, .) floor is exact IEEE, no rounding."
     ),
+    "unigram_surprisal": (
+        "Perplexity proxy: the unigram table aggregates the exploded "
+        "corpus MAP-SIDE (the Exchange carries distinct-token "
+        "partials, vocabulary-sized); token instances join it on the "
+        "token hash and the per-doc mean is one more hash aggregate."
+    ),
+    "token_psi_sources": (
+        "Vocabulary-drift PSI: both slices' token counts pivot from "
+        "ONE corpus scan + one vocabulary-sized HashAggregate "
+        "(sum(when(split=..)) — the ccf_pivot recipe); totals are two "
+        "driver-side scalars, the PSI math a map-only Project."
+    ),
+    "mp_selfcheck": (
+        "Matrix profile: one Exchange on the series key + ONE "
+        "applyInPandas computing STOMP and its brute-force oracle "
+        "in-job; the driver hashes per-position equality booleans."
+    ),
     "ewvar_events": (
         "EW variance bands: same single-Exchange lockstep template; "
         "the band flag compares bit-identical doubles (squared "
