@@ -2844,6 +2844,173 @@ FROM c WHERE n >= 16
 """
 
 
+def _q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval 8-gram decontamination (the GPT-3/PaLM hygiene step):
+    eval set = every 20th document, train = the rest; flag train docs
+    sharing any 8-gram with eval. Join on md5(ngram) — fixed-width
+    shuffle key; the oracle joins on the gram string (identical result,
+    md5 is injective modulo 2^-128 collisions)."""
+    from tsclust_spark.operators.contamination import ngram_contamination
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_contamination(tr, ev, n=8)
+
+
+_SQL_NGRAM_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> len(x) > 0) AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(w) - 7, 0)),
+      i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g
+  FROM toks
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0),
+per_doc AS (SELECT doc_id, count(*) AS n_ngrams FROM tr GROUP BY 1),
+hits AS (
+  SELECT tr.doc_id, count(*) AS n_hit FROM tr JOIN ev USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(per_doc.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit,
+       coalesce(hits.n_hit, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN per_doc USING (doc_id)
+LEFT JOIN hits USING (doc_id)
+"""
+
+
+def _q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram-LM surprisal per document (sharper perplexity
+    proxy than the unigram gate): context counts derive from the bigram
+    table, not a corpus rescan, so p(.|head) sums to exactly 1."""
+    from tsclust_spark.operators.surprisal import bigram_surprisal
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bigram_surprisal(docs)
+    return out.select(
+        "doc_id", "n_bigrams", _sround("surprisal", 6).alias("surprisal")
+    )
+
+
+_SQL_BIGRAM_SURPRISAL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> len(x) > 0) AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, greatest(len(w) - 1, 0)),
+      i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS bigram
+  FROM toks
+),
+bf AS (SELECT bigram, count(*) AS bg_cnt FROM bg GROUP BY 1),
+hf AS (
+  SELECT string_split(bigram, ' ')[1] AS head, sum(bg_cnt) AS head_cnt
+  FROM bf GROUP BY 1
+)
+SELECT bg.doc_id,
+       count(*) AS n_bigrams,
+       {_sql_round('-avg(ln(CAST(bf.bg_cnt AS DOUBLE) / CAST(hf.head_cnt AS DOUBLE)))', 6)}
+         AS surprisal
+FROM bg
+JOIN bf USING (bigram)
+JOIN hf ON hf.head = string_split(bg.bigram, ' ')[1]
+GROUP BY 1
+"""
+
+
+def _q_rolling_median_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing 10-minute median per user (robust-statistics twin
+    of rolling_stats_10m): Spark's exact `percentile` over a numeric
+    RANGE frame vs DuckDB `quantile_cont` — both linear-interpolating
+    continuous quantiles over identical peer groups."""
+    from tsclust_spark.operators.rolling import rolling_median
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter((F.col("user_id") <= 30) & F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = rolling_median(ev, window_seconds=600)
+    return out.select(
+        "user_id",
+        "event_id",
+        "roll_n",
+        _sround("roll_median", 6).alias("roll_median"),
+    )
+
+
+_SQL_ROLLING_MEDIAN_10M = f"""
+WITH pts AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS e, value
+  FROM events WHERE user_id <= 30 AND value IS NOT NULL
+)
+SELECT user_id, event_id,
+       count(*) OVER w AS roll_n,
+       {_sql_round('quantile_cont(value, 0.5) OVER w', 6)} AS roll_median
+FROM pts
+WINDOW w AS (PARTITION BY user_id ORDER BY e
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_zipf_slope_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf OLS fit (ln freq on ln rank, deterministic
+    frequency-desc/token tiebreak ranking): corpus-health drift gate
+    complementing the PSI family."""
+    from tsclust_spark.operators.zipf import zipf_slope
+
+    docs = _load(spark, sf_dir, "documents").select("source", "text")
+    out = zipf_slope(docs, slice_col="source")
+    return out.select(
+        F.col("slice").alias("source"),
+        "n_vocab",
+        "n_tokens",
+        _sround("zipf_slope", 6).alias("zipf_slope"),
+    )
+
+
+_SQL_ZIPF_SLOPE_SOURCES = rf"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(
+           string_split_regex(lower(trim(text)), '\s+'),
+           x -> len(x) > 0)) AS token
+  FROM documents
+),
+freq AS (
+  SELECT source, token, count(*) AS cnt FROM toks GROUP BY 1, 2
+),
+pts AS (
+  SELECT source, cnt,
+         ln(CAST(row_number() OVER (
+              PARTITION BY source ORDER BY cnt DESC, token) AS DOUBLE)) AS x,
+         ln(CAST(cnt AS DOUBLE)) AS y
+  FROM freq
+),
+agg AS (
+  SELECT source, count(*) AS n_vocab, sum(cnt) AS n_tokens,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT source, n_vocab, n_tokens,
+       {_sql_round('''CASE WHEN CAST(n_vocab AS DOUBLE) * sxx - sx * sx > 0
+            THEN (CAST(n_vocab AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n_vocab AS DOUBLE) * sxx - sx * sx) END''', 6)}
+         AS zipf_slope
+FROM agg
+"""
+
+
 def _q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tabular CUSUM (mu=10, k=0.5, h=25) per user series: one lockstep
     mapInPandas pass; the oracle recursive CTE steps the same exact ops
@@ -3320,6 +3487,10 @@ DRIVER_WINDOW = 50
 # r3-green, code unchanged since their CORRECTNESS_r03 hash-green row,
 # each with redundant local coverage (pytest and/or a shared oracle).
 _BEYOND_WINDOW_VETERANS = [
+    "tfidf_top3",            # r3-green, tfidf.py unchanged since r3; rotated out for ngram_contamination (round 4)
+    "realtime_cagg_1m",      # r3-green, rollup.py unchanged since r3; rotated out for bigram_surprisal (round 4)
+    "time_weighted_avg_1h",  # r3-green, rollup.py unchanged since r3; rotated out for rolling_median_10m (round 4)
+    "counter_delta_1h",      # r3-green, rollup.py unchanged since r3; rotated out for zipf_slope_sources (round 4)
     "dedup_ngram_jaccard",   # r3-green; bounded-input direct Jaccard — dedup keeps 4 in-window gates (exact/minhash/groups_cc/simhash)
     "sample_docs_10pct",     # pure function of (seed, id); r3-green; pytest tests/test_sampling.py
     "cap_docs_per_source",   # pure function of (seed, id); r3-green; pytest tests/test_sampling.py
@@ -3393,11 +3564,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": _q_unigram_surprisal,
         "token_psi_sources": _q_token_psi_sources,
         "mp_selfcheck": _q_mp_selfcheck,
+        "ngram_contamination": _q_ngram_contamination,
+        "bigram_surprisal": _q_bigram_surprisal,
+        "rolling_median_10m": _q_rolling_median_10m,
+        "zipf_slope_sources": _q_zipf_slope_sources,
         # --- stable in-window queries (r3-green) ---
         "window_rep_1h": _q_window_rep_1h,
         "dtw_selfcheck": _q_dtw_selfcheck,
         "dtw_pruned_check": _q_dtw_pruned_check,
-        "tfidf_top3": _q_tfidf_top3,
         "cluster_invariants": _q_cluster_invariants,
         "fast1m_jvm": _q_fast1m_jvm,
         "dedup_exact": _q_dedup_exact,
@@ -3405,11 +3579,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_full_probe": _q_ivf_topk,
         "tier_1m_events": _q_tier_1m_events,
         "tier_cascade_1h_events": _q_tier_cascade_1h_events,
+        "tier_histogram_1h": _q_tier_histogram_1h,
+        # --- beyond the driver window: _BEYOND_WINDOW_VETERANS ---
+        "tfidf_top3": _q_tfidf_top3,
         "realtime_cagg_1m": _q_realtime_cagg_1m,
         "time_weighted_avg_1h": _q_time_weighted_avg_1h,
         "counter_delta_1h": _q_counter_delta_1h,
-        "tier_histogram_1h": _q_tier_histogram_1h,
-        # --- beyond the driver window: _BEYOND_WINDOW_VETERANS ---
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "sample_docs_10pct": _q_sample_docs_10pct,
         "cap_docs_per_source": _q_cap_docs_per_source,
@@ -3461,6 +3636,10 @@ def oracle_sql() -> dict[str, str]:
         "unigram_surprisal": _SQL_UNIGRAM_SURPRISAL,
         "token_psi_sources": _SQL_TOKEN_PSI_SOURCES,
         "mp_selfcheck": _SQL_MP_SELFCHECK,
+        "ngram_contamination": _SQL_NGRAM_CONTAMINATION,
+        "bigram_surprisal": _SQL_BIGRAM_SURPRISAL,
+        "rolling_median_10m": _SQL_ROLLING_MEDIAN_10M,
+        "zipf_slope_sources": _SQL_ZIPF_SLOPE_SOURCES,
         # the DTW/cluster kernels are non-SQL-expressible; their driver
         # gates assert kernel self-consistency + invariants as booleans
         # against constant-true oracles (values oracled in tests/)

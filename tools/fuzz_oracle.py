@@ -50,7 +50,8 @@ DEFAULT_QUERIES = [
     "realtime_cagg_1m", "time_weighted_avg_1h", "counter_delta_1h",
     "tier_histogram_1h", "hist_percentiles_1h", "m4_downsample_64px",
     "gapfill_locf", "gapfill_linear", "ewma_events", "acf_events",
-    "rolling_stats_10m", "zscore_anomalies_1h", "znorm_events",
+    "rolling_stats_10m", "rolling_median_10m", "zscore_anomalies_1h",
+    "znorm_events",
     "paa_events", "sax_words_events", "psi_view_vs_purchase",
     "asof_join_events", "asof_interpolate_events", "asof_join_bucketed",
     "session_stats", "session_stats_bucketed",
@@ -65,7 +66,8 @@ DEFAULT_QUERIES = [
     "simhash_near_dups", "dedup_ngram_jaccard", "gopher_flags",
     "token_count", "fingerprint", "language_id", "quality_score",
     "tfidf_top3", "top_tokens_per_source", "curate_docs",
-    "unigram_surprisal", "token_psi_sources",
+    "unigram_surprisal", "token_psi_sources", "bigram_surprisal",
+    "ngram_contamination", "zipf_slope_sources",
     "sample_docs_10pct", "cap_docs_per_source", "split_assign",
     "salted_source_stats",
     # embeddings family: zero / duplicate / one-hot vectors

@@ -54,6 +54,39 @@ def rolling_stats(
     )
 
 
+def rolling_median(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int = 600,
+) -> DataFrame:
+    """Append the EXACT trailing-window median (``roll_n``,
+    ``roll_median``) over the last ``window_seconds`` seconds per key.
+
+    Uses Spark's exact ``percentile`` aggregate (linear interpolation
+    between the two middle order statistics — the same continuous
+    definition as SQL ``quantile_cont``/``percentile_cont``) over a
+    numeric RANGE frame.  Exactness costs a per-frame sort of the
+    frame's values; this is the robust-statistics complement to
+    ``rolling_stats`` (mean/std are moment-decomposable, the median is
+    not — approx_percentile is the knob to reach for when frames grow
+    beyond ~1e5 points per window at full scale).
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    base = df.withColumn("_epoch", epoch)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("_epoch"))
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    return (
+        base.withColumn("roll_n", F.count(F.lit(1)).over(w))
+        .withColumn("roll_median", F.percentile(value_col, F.lit(0.5)).over(w))
+        .drop("_epoch")
+    )
+
+
 def zscore_anomalies(
     df: DataFrame,
     key_col: str = "user_id",

@@ -30,6 +30,62 @@ from pyspark.sql import functions as F
 from tsclust_spark.operators.textstats import _words
 
 
+def bigram_surprisal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean conditional bigram surprisal.
+
+        p(w_i | w_{i-1}) = c(w_{i-1} w_i) / c_head(w_{i-1})
+        surprisal        = -(1/(n-1)) * sum_{i>=2} ln p(w_i | w_{i-1})
+
+    ``c_head`` counts occurrences of a token as the FIRST element of a
+    bigram (not raw token frequency), so the conditional distribution
+    sums to exactly 1 per context and every probability is <= 1.  The
+    LM is trained on the scored corpus itself, so every observed bigram
+    has count >= 1 — no smoothing needed for self-scoring.
+
+    Plan shape: bigrams are built map-side (transform/sequence/slice,
+    zero Python); the bigram table aggregates map-side partials; the
+    head-context table is a second vocabulary-sized aggregate of the
+    bigram table (NOT a rescan of the corpus); instance scoring is one
+    linear join on md5(bigram) plus a broadcast-sized join on the head
+    token.  Documents with fewer than 2 tokens emit no row.
+
+    Output: ``(id, n_bigrams, surprisal)`` in nats.
+    """
+    w = F.filter(_words(F.col(text_col)), lambda t: F.length(t) > 0)
+    n_starts = F.size(w) - F.lit(1)
+    grams = F.when(
+        n_starts >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_starts),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = df.select(F.col(id_col), F.explode(grams).alias("bigram"))
+    bf = toks.groupBy("bigram").agg(F.count(F.lit(1)).alias("bg_cnt"))
+    hf = (
+        bf.withColumn("head", F.split("bigram", " ")[0])
+        .groupBy("head")
+        .agg(F.sum("bg_cnt").alias("head_cnt"))
+    )
+    scored = (
+        toks.join(bf, "bigram")
+        .withColumn("head", F.split("bigram", " ")[0])
+        .join(hf, "head")
+        .select(
+            id_col,
+            F.log(
+                F.col("bg_cnt").cast("double") / F.col("head_cnt").cast("double")
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.avg("_lp")).alias("surprisal"),
+    )
+
+
 def unigram_surprisal(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
