@@ -294,6 +294,36 @@ NOTES = {
         "side is an explicit BroadcastHashJoin (profile = keys x 24 "
         "rows), so the fact table never shuffles for the comparison."
     ),
+    "ngram_contamination": (
+        "Decontamination join: grams are built map-side (Generate over "
+        "transform/sequence HOFs, zero Python); the distinct eval gram "
+        "set broadcasts (BuildRight LeftOuter marker join), and ONE "
+        "aggregate yields both n_ngrams and n_hit — the train grams "
+        "are generated and shuffled exactly once. At benchmark-sized "
+        "eval sets this stays broadcast; a huge eval side degrades to "
+        "a linear shuffle join on the fixed-width md5 key."
+    ),
+    "bigram_surprisal": (
+        "Conditional-LM scoring: the bigram frequency table aggregates "
+        "map-side partials (vocabulary-sized Exchange); head-context "
+        "counts re-aggregate THAT table, never the corpus; both "
+        "lookups join broadcast at small vocabularies and degrade to "
+        "hash joins keyed on the gram, linear in corpus size."
+    ),
+    "rolling_median_10m": (
+        "Exact trailing median: single Exchange on the series key, one "
+        "Sort, ONE Window node evaluating count + exact percentile "
+        "over the same RANGE frame — identical shape to "
+        "rolling_stats_10m; exactness costs per-frame ordering inside "
+        "the window, not an extra shuffle."
+    ),
+    "zipf_slope_sources": (
+        "Zipf fit: the only corpus-sized Exchange is the (source, "
+        "token) frequency aggregate with map-side partials; the rank "
+        "window and the OLS moment aggregate run over the "
+        "vocabulary-sized table, so everything past the scan is "
+        "independent of corpus size."
+    ),
     "m4_downsample_64px": (
         "M4 visualization downsample: ONE Exchange (the (key, pixel) "
         "hash aggregate with map-side partials); the 4-candidate "

@@ -89,17 +89,23 @@ def ngram_contamination(
         doc_ngrams(eval_df, n, id_col, text_col)
         .select(F.md5("ngram").alias("_h"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    per_doc = tg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
-    hits = (
-        tg.join(eg, "_h", "left_semi")
+    # ONE pass over the train grams: a left join against the (distinct)
+    # eval set marks hits, and a single aggregate produces both the
+    # total and the hit count — the naive per_doc ⋈ hits formulation
+    # generates and shuffles the train grams twice.
+    per_doc = (
+        tg.join(eg, "_h", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("_hit").alias("n_hit"),
+        )
     )
     return (
         train.select(id_col)
         .join(per_doc, id_col, "left")
-        .join(hits, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
