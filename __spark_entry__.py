@@ -3011,6 +3011,71 @@ FROM agg
 """
 
 
+def _q_holt_winters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive (alpha=0.5, beta=0.25, gamma=0.5, m=7) per
+    user series. Parameters are chosen with EXACT binary complements
+    (1-0.5, 1-0.25 are representable), so the oracle CTE's repeated
+    literal subexpressions are bit-identical to the kernel's saved
+    priors; the seasonal ring rides the recursion as a list column."""
+    from tsclust_spark.operators.holtwinters import holt_winters
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter((F.col("user_id") <= 10) & F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = holt_winters(
+        ev, alpha=0.5, beta=0.25, gamma=0.5, period=7, tiebreak_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        _sround("level_value", 6).alias("level_value"),
+        _sround("trend_value", 6).alias("trend_value"),
+        _sround("seasonal_value", 6).alias("seasonal_value"),
+    )
+
+
+# Holt-Winters oracle: the recursive CTE carries the last m seasonals
+# as a list-column FIFO ring (ring[1] = c_{t-m} once full). SQL cannot
+# name intermediates, so s_new/c_new repeat inline — deterministic
+# double math makes the repeats bit-identical.
+_HW_CP = "CASE WHEN len(rec.ring) >= 7 THEN rec.ring[1] ELSE CAST(0.0 AS DOUBLE) END"
+_HW_S = f"0.5 * (p.value - ({_HW_CP})) + 0.5 * (rec.s + rec.b)"
+_HW_C = f"0.5 * (p.value - rec.s - rec.b) + 0.5 * ({_HW_CP})"
+_HW_B = f"0.25 * (({_HW_S}) - rec.s) + 0.75 * rec.b"
+_HW_RING = (
+    f"CASE WHEN len(rec.ring) >= 7 THEN list_append(rec.ring[2:], {_HW_C}) "
+    f"ELSE list_append(rec.ring, {_HW_C}) END"
+)
+
+_SQL_HOLT_WINTERS_EVENTS = f"""
+WITH RECURSIVE pts AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS r
+  FROM events WHERE user_id <= 10 AND value IS NOT NULL
+),
+rec AS (
+  SELECT user_id, event_id, r, CAST(value AS DOUBLE) AS s,
+         CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS c,
+         [CAST(0.0 AS DOUBLE)] AS ring
+  FROM pts WHERE r = 0
+  UNION ALL
+  SELECT p.user_id, p.event_id, p.r,
+         {_HW_S} AS s,
+         {_HW_B} AS b,
+         {_HW_C} AS c,
+         {_HW_RING} AS ring
+  FROM rec JOIN pts p ON p.user_id = rec.user_id AND p.r = rec.r + 1
+)
+SELECT user_id, event_id,
+       {_sql_round('s', 6)} AS level_value,
+       {_sql_round('b', 6)} AS trend_value,
+       {_sql_round('c', 6)} AS seasonal_value
+FROM rec
+"""
+
+
 def _q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tabular CUSUM (mu=10, k=0.5, h=25) per user series: one lockstep
     mapInPandas pass; the oracle recursive CTE steps the same exact ops
@@ -3487,6 +3552,7 @@ DRIVER_WINDOW = 50
 # r3-green, code unchanged since their CORRECTNESS_r03 hash-green row,
 # each with redundant local coverage (pytest and/or a shared oracle).
 _BEYOND_WINDOW_VETERANS = [
+    "fast1m_jvm",            # r3-green, kernel unchanged since r3; rotated out for holt_winters_events (round 4; shares _SQL_FAST1M with fast1m_arrow, both pytest-plan-gated)
     "tfidf_top3",            # r3-green, tfidf.py unchanged since r3; rotated out for ngram_contamination (round 4)
     "realtime_cagg_1m",      # r3-green, rollup.py unchanged since r3; rotated out for bigram_surprisal (round 4)
     "time_weighted_avg_1h",  # r3-green, rollup.py unchanged since r3; rotated out for rolling_median_10m (round 4)
@@ -3568,12 +3634,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": _q_bigram_surprisal,
         "rolling_median_10m": _q_rolling_median_10m,
         "zipf_slope_sources": _q_zipf_slope_sources,
+        "holt_winters_events": _q_holt_winters_events,
         # --- stable in-window queries (r3-green) ---
         "window_rep_1h": _q_window_rep_1h,
         "dtw_selfcheck": _q_dtw_selfcheck,
         "dtw_pruned_check": _q_dtw_pruned_check,
         "cluster_invariants": _q_cluster_invariants,
-        "fast1m_jvm": _q_fast1m_jvm,
         "dedup_exact": _q_dedup_exact,
         "dedup_groups_cc": _q_dedup_groups_cc,
         "ivf_topk_full_probe": _q_ivf_topk,
@@ -3581,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_cascade_1h_events": _q_tier_cascade_1h_events,
         "tier_histogram_1h": _q_tier_histogram_1h,
         # --- beyond the driver window: _BEYOND_WINDOW_VETERANS ---
+        "fast1m_jvm": _q_fast1m_jvm,
         "tfidf_top3": _q_tfidf_top3,
         "realtime_cagg_1m": _q_realtime_cagg_1m,
         "time_weighted_avg_1h": _q_time_weighted_avg_1h,
@@ -3640,6 +3707,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_surprisal": _SQL_BIGRAM_SURPRISAL,
         "rolling_median_10m": _SQL_ROLLING_MEDIAN_10M,
         "zipf_slope_sources": _SQL_ZIPF_SLOPE_SOURCES,
+        "holt_winters_events": _SQL_HOLT_WINTERS_EVENTS,
         # the DTW/cluster kernels are non-SQL-expressible; their driver
         # gates assert kernel self-consistency + invariants as booleans
         # against constant-true oracles (values oracled in tests/)

@@ -1,0 +1,121 @@
+"""Holt-Winters: lockstep kernel bit-equals the scalar reference;
+Spark operator bit-equals the kernel; cross-batch carry (including the
+seasonal ring) continues a split series exactly; reduces to Holt when
+gamma = 0."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from tsclust_spark.operators.holtwinters import (
+    _hw_lockstep,
+    _hw_scalar,
+    holt_winters,
+)
+
+T0 = dt.datetime(2024, 3, 1)
+RNG = np.random.default_rng(53)
+
+
+def _concat(series):
+    x = np.concatenate(series) if series else np.empty(0)
+    starts = np.cumsum([0] + [s.size for s in series[:-1]]).astype(np.int64)
+    return x.astype(np.float64), starts
+
+
+@pytest.mark.parametrize(
+    "alpha,beta,gamma,m",
+    [(0.5, 0.25, 0.5, 7), (0.3, 0.2, 0.4, 4), (1.0, 0.0, 0.0, 2)],
+)
+def test_lockstep_bit_equals_scalar(alpha, beta, gamma, m):
+    for shape in (
+        [RNG.normal(size=RNG.integers(1, 20)) for _ in range(64)],
+        [RNG.normal(size=500), RNG.normal(size=3)],
+    ):
+        x, starts = _concat(shape)
+        s_l, b_l, c_l = _hw_lockstep(x, starts, alpha, beta, gamma, m)
+        off = 0
+        for seg in shape:
+            s_s, b_s, c_s = _hw_scalar(seg.astype(np.float64), alpha, beta, gamma, m)
+            n = seg.size
+            assert (s_l[off : off + n] == s_s).all()
+            assert (b_l[off : off + n] == b_s).all()
+            assert (c_l[off : off + n] == c_s).all()
+            off += n
+
+
+@pytest.mark.parametrize("cut", [3, 5, 7, 113])  # below/at/above the m=7 ring
+def test_scalar_carry_bit_equals_unbroken(cut):
+    m = 7
+    x = RNG.normal(size=300).astype(np.float64)
+    s_f, b_f, c_f = _hw_scalar(x, 0.5, 0.25, 0.5, m)
+    s1, b1, c1 = _hw_scalar(x[:cut], 0.5, 0.25, 0.5, m)
+    ring = list(c1[-m:])
+    s2, b2, c2 = _hw_scalar(
+        x[cut:], 0.5, 0.25, 0.5, m, carry=(float(s1[-1]), float(b1[-1]), ring)
+    )
+    assert (np.concatenate([s1, s2]) == s_f).all()
+    assert (np.concatenate([b1, b2]) == b_f).all()
+    assert (np.concatenate([c1, c2]) == c_f).all()
+
+
+def test_spark_bit_equals_kernel(spark):
+    rows = []
+    for u in (1, 2, 3):
+        for i in range(200):
+            rows.append(
+                (u, T0 + dt.timedelta(seconds=60 * i), float(RNG.normal()))
+            )
+    rows.append((1, rows[0][1], 99.0))  # duplicate ts, tiebreak-ordered
+    rows = [(i, *r) for i, r in enumerate(rows)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: (r["level_value"], r["trend_value"], r["seasonal_value"])
+        for r in holt_winters(
+            df, 0.5, 0.25, 0.5, period=7, tiebreak_col="event_id"
+        ).collect()
+    }
+    by_user = {}
+    for eid, u, ts, v in rows:
+        by_user.setdefault(u, []).append((ts, eid, v))
+    for u, pts in by_user.items():
+        pts.sort()
+        x = np.array([v for _, _, v in pts], dtype=np.float64)
+        s, b, c = _hw_scalar(x, 0.5, 0.25, 0.5, 7)
+        for j, (_, eid, _) in enumerate(pts):
+            assert got[eid] == (s[j], b[j], c[j]), (u, eid)
+
+
+def test_reduces_to_holt_when_gamma_zero():
+    from tsclust_spark.operators.holt import _holt_scalar
+
+    x = RNG.normal(size=100).astype(np.float64)
+    s_hw, b_hw, c_hw = _hw_scalar(x, 0.3, 0.2, 0.0, 5)
+    s_h, b_h = _holt_scalar(x, 0.3, 0.2)
+    # gamma=0 keeps every seasonal at... c_t = 0*(..) + 1*c_prev = 0
+    assert (c_hw == 0.0).all()
+    assert (s_hw == s_h).all() and (b_hw == b_h).all()
+
+
+def test_learns_planted_seasonality():
+    # level 100, no trend, exact period-4 pattern [5, -5, 2, -2]
+    pat = np.array([5.0, -5.0, 2.0, -2.0])
+    x = 100.0 + np.tile(pat, 100)
+    s, b, c = _hw_scalar(x, 0.3, 0.05, 0.5, 4)
+    tail = c[-40:].reshape(10, 4)
+    learned = tail.mean(axis=0)
+    # phase alignment: the pattern is recovered up to additive offset
+    centered = learned - learned.mean()
+    want = pat - pat.mean()
+    assert np.abs(centered - want).max() < 0.5
+
+
+def test_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, T0, 1.0)], "user_id long, ts timestamp, value double")
+    with pytest.raises(ValueError):
+        holt_winters(df, 0.0, 0.1, 0.1, period=4)
+    with pytest.raises(ValueError):
+        holt_winters(df, 0.5, 0.1, 0.1, period=1)

@@ -60,6 +60,7 @@ DEFAULT_QUERIES = [
     "quantile_sketch_bounds", "window_rep_1h", "routed_tier_1h",
     "seasonal_anomalies_hod", "holt_events", "trend_slope_1h",
     "cusum_events", "ccf_view_purchase_1d", "ewvar_events",
+    "holt_winters_events",
     "mp_selfcheck",
     # documents family: empty/whitespace/unicode/dup texts
     "dedup_exact", "dedup_minhash_lsh", "dedup_groups_cc",
