@@ -3076,6 +3076,100 @@ FROM rec
 """
 
 
+def _q_series_spearman_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Spearman rank correlation over aligned 1-hour buckets:
+    same no-self-join pair expansion as the Pearson gate, then both
+    sides' fractional ranks (average on ties — exact halves) and the
+    moment aggregate reuse ONE (key_a, key_b) Exchange."""
+    from tsclust_spark.operators.correlate import series_spearman_pairs
+
+    ev = _load(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    out = series_spearman_pairs(
+        ev, key_col="user_id", bucket="hour", min_overlap=5
+    )
+    return out.select(
+        "key_a", "key_b", "n_overlap", _sround("rho", 6).alias("rho")
+    )
+
+
+_SQL_SERIES_SPEARMAN_PAIRS = f"""
+WITH b AS (
+  SELECT user_id AS key, date_trunc('hour', ts) AS bucket_ts, avg(value) AS v
+  FROM events WHERE user_id <= 30 GROUP BY 1, 2
+),
+j AS (
+  SELECT a.key AS key_a, c.key AS key_b, a.v AS v_a, c.v AS v_b
+  FROM b a JOIN b c ON a.bucket_ts = c.bucket_ts AND a.key < c.key
+),
+ranked AS (
+  SELECT key_a, key_b,
+         CAST(rank() OVER (PARTITION BY key_a, key_b ORDER BY v_a) AS DOUBLE)
+           + CAST(count(*) OVER (PARTITION BY key_a, key_b, v_a) - 1 AS DOUBLE) / 2.0
+           AS rank_a,
+         CAST(rank() OVER (PARTITION BY key_a, key_b ORDER BY v_b) AS DOUBLE)
+           + CAST(count(*) OVER (PARTITION BY key_a, key_b, v_b) - 1 AS DOUBLE) / 2.0
+           AS rank_b
+  FROM j
+),
+agg AS (
+  SELECT key_a, key_b, count(*) AS n_overlap,
+         covar_samp(rank_a, rank_b)
+           / nullif(stddev_samp(rank_a) * stddev_samp(rank_b), 0.0) AS raw
+  FROM ranked GROUP BY 1, 2
+)
+SELECT key_a, key_b, n_overlap, {_sql_round('raw', 6)} AS rho
+FROM agg
+WHERE n_overlap >= 5 AND raw IS NOT NULL AND NOT isnan(raw)
+"""
+
+
+def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations over the corpus (min pair count 5): the
+    multi-word-expression signal for tokenizer/vocabulary work; both
+    frequency tables are vocabulary-sized aggregates."""
+    from tsclust_spark.operators.collocation import pmi_collocations
+
+    docs = _load(spark, sf_dir, "documents").select("text")
+    out = pmi_collocations(docs, min_count=5)
+    return out.select("head", "tail", "pair_cnt", _sround("pmi", 6).alias("pmi"))
+
+
+_SQL_PMI_COLLOCATIONS = rf"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> len(x) > 0) AS w
+  FROM documents
+),
+uni AS (
+  SELECT unnest(w) AS token FROM toks
+),
+uf AS (SELECT token, count(*) AS cnt FROM uni GROUP BY 1),
+pairs AS (
+  SELECT unnest(list_transform(
+      generate_series(1, greatest(len(w) - 1, 0)),
+      i -> struct_pack(head := w[i], tail := w[i + 1]))) AS p
+  FROM toks
+),
+pf AS (
+  SELECT p.head AS head, p.tail AS tail, count(*) AS pair_cnt
+  FROM pairs GROUP BY 1, 2
+),
+tot AS (
+  SELECT (SELECT sum(cnt) FROM uf) AS n_tok,
+         (SELECT count(*) FROM pairs) AS n_big
+)
+SELECT pf.head, pf.tail, pf.pair_cnt,
+       {_sql_round('''ln((CAST(pf.pair_cnt AS DOUBLE) / CAST(tot.n_big AS DOUBLE))
+           / ((CAST(ua.cnt AS DOUBLE) / CAST(tot.n_tok AS DOUBLE))
+            * (CAST(ub.cnt AS DOUBLE) / CAST(tot.n_tok AS DOUBLE))))''', 6)} AS pmi
+FROM pf
+JOIN uf ua ON ua.token = pf.head
+JOIN uf ub ON ub.token = pf.tail
+CROSS JOIN tot
+WHERE pf.pair_cnt >= 5
+"""
+
+
 def _q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tabular CUSUM (mu=10, k=0.5, h=25) per user series: one lockstep
     mapInPandas pass; the oracle recursive CTE steps the same exact ops
@@ -3552,6 +3646,8 @@ DRIVER_WINDOW = 50
 # r3-green, code unchanged since their CORRECTNESS_r03 hash-green row,
 # each with redundant local coverage (pytest and/or a shared oracle).
 _BEYOND_WINDOW_VETERANS = [
+    "dedup_exact",           # r3-green, function unchanged since r3; rotated out for series_spearman_pairs (round 4; dedup family keeps minhash/groups_cc/simhash coverage)
+    "tier_histogram_1h",     # r3-green, histogram.py/rollup.py unchanged since r3; rotated out for pmi_collocations (round 4; hist_percentiles_1h derives from it, pytest-covered)
     "fast1m_jvm",            # r3-green, kernel unchanged since r3; rotated out for holt_winters_events (round 4; shares _SQL_FAST1M with fast1m_arrow, both pytest-plan-gated)
     "tfidf_top3",            # r3-green, tfidf.py unchanged since r3; rotated out for ngram_contamination (round 4)
     "realtime_cagg_1m",      # r3-green, rollup.py unchanged since r3; rotated out for bigram_surprisal (round 4)
@@ -3635,18 +3731,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median_10m": _q_rolling_median_10m,
         "zipf_slope_sources": _q_zipf_slope_sources,
         "holt_winters_events": _q_holt_winters_events,
+        "series_spearman_pairs": _q_series_spearman_pairs,
+        "pmi_collocations": _q_pmi_collocations,
         # --- stable in-window queries (r3-green) ---
         "window_rep_1h": _q_window_rep_1h,
         "dtw_selfcheck": _q_dtw_selfcheck,
         "dtw_pruned_check": _q_dtw_pruned_check,
         "cluster_invariants": _q_cluster_invariants,
-        "dedup_exact": _q_dedup_exact,
         "dedup_groups_cc": _q_dedup_groups_cc,
         "ivf_topk_full_probe": _q_ivf_topk,
         "tier_1m_events": _q_tier_1m_events,
         "tier_cascade_1h_events": _q_tier_cascade_1h_events,
-        "tier_histogram_1h": _q_tier_histogram_1h,
         # --- beyond the driver window: _BEYOND_WINDOW_VETERANS ---
+        "dedup_exact": _q_dedup_exact,
+        "tier_histogram_1h": _q_tier_histogram_1h,
         "fast1m_jvm": _q_fast1m_jvm,
         "tfidf_top3": _q_tfidf_top3,
         "realtime_cagg_1m": _q_realtime_cagg_1m,
@@ -3708,6 +3806,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_median_10m": _SQL_ROLLING_MEDIAN_10M,
         "zipf_slope_sources": _SQL_ZIPF_SLOPE_SOURCES,
         "holt_winters_events": _SQL_HOLT_WINTERS_EVENTS,
+        "series_spearman_pairs": _SQL_SERIES_SPEARMAN_PAIRS,
+        "pmi_collocations": _SQL_PMI_COLLOCATIONS,
         # the DTW/cluster kernels are non-SQL-expressible; their driver
         # gates assert kernel self-consistency + invariants as booleans
         # against constant-true oracles (values oracled in tests/)

@@ -56,6 +56,7 @@ DEFAULT_QUERIES = [
     "asof_join_events", "asof_interpolate_events", "asof_join_bucketed",
     "session_stats", "session_stats_bucketed",
     "interval_session_assign", "series_corr_pairs",
+    "series_spearman_pairs",
     "distinct_event_types", "approx_distinct_bounds",
     "quantile_sketch_bounds", "window_rep_1h", "routed_tier_1h",
     "seasonal_anomalies_hod", "holt_events", "trend_slope_1h",
@@ -68,7 +69,7 @@ DEFAULT_QUERIES = [
     "token_count", "fingerprint", "language_id", "quality_score",
     "tfidf_top3", "top_tokens_per_source", "curate_docs",
     "unigram_surprisal", "token_psi_sources", "bigram_surprisal",
-    "ngram_contamination", "zipf_slope_sources",
+    "ngram_contamination", "zipf_slope_sources", "pmi_collocations",
     "sample_docs_10pct", "cap_docs_per_source", "split_assign",
     "salted_source_stats",
     # embeddings family: zero / duplicate / one-hot vectors
