@@ -324,6 +324,25 @@ NOTES = {
         "vocabulary-sized table, so everything past the scan is "
         "independent of corpus size."
     ),
+    "holt_winters_events": (
+        "Holt-Winters: the EWMA/Holt template — repartition(key) + "
+        "sortWithinPartitions + ONE mapInPandas; the seasonal lookback "
+        "is a column read m steps back in the lockstep matrix, so the "
+        "third state costs arithmetic, not plan shape."
+    ),
+    "series_spearman_pairs": (
+        "Spearman: same bucket-collect pair expansion as the Pearson "
+        "gate (no self-join), then the rank windows PARTITION BY the "
+        "same (key_a, key_b) the final aggregate groups on — one "
+        "Exchange serves windows and aggregate; robustness costs "
+        "sorts, not shuffles."
+    ),
+    "pmi_collocations": (
+        "PMI: unigram and bigram tables are both map-side-partial "
+        "aggregates (vocabulary-sized Exchanges); the two unigram "
+        "lookups broadcast at small vocabularies; corpus totals are "
+        "single-row scalars."
+    ),
     "m4_downsample_64px": (
         "M4 visualization downsample: ONE Exchange (the (key, pixel) "
         "hash aggregate with map-side partials); the 4-candidate "
