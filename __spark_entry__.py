@@ -3170,6 +3170,142 @@ WHERE pf.pair_cnt >= 5
 """
 
 
+def _q_mad_anomalies_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (modified z / MAD) anomaly flags vs the trailing 1-hour
+    window — the outlier-resistant twin of zscore_anomalies_1h; score
+    quantized before the 3.5 threshold so flags are engine-identical.
+    Oracle uses DuckDB's windowed median()/mad() (interpolating on
+    DOUBLE, same continuous definition as the engine's array median)."""
+    from tsclust_spark.operators.rolling import mad_anomalies
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter((F.col("user_id") <= 30) & F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = mad_anomalies(ev, window_seconds=3600, threshold=3.5)
+    return out.select(
+        "user_id",
+        "event_id",
+        "roll_n",
+        _sround("roll_median", 6).alias("roll_median"),
+        _sround("roll_mad", 6).alias("roll_mad"),
+        "abs_mod_z",
+        "is_anomaly",
+    )
+
+
+_SQL_MAD_ANOMALIES_1H = f"""
+WITH pts AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS e, value
+  FROM events WHERE user_id <= 30 AND value IS NOT NULL
+),
+w AS (
+  SELECT user_id, event_id, value,
+         count(*) OVER win AS roll_n,
+         median(value) OVER win AS roll_median,
+         mad(value) OVER win AS roll_mad
+  FROM pts
+  WINDOW win AS (PARTITION BY user_id ORDER BY e
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+),
+q AS (
+  SELECT user_id, event_id, roll_n, roll_median, roll_mad,
+         floor(abs(0.6745 * (value - roll_median) / nullif(roll_mad, 0.0))
+               * 1000000 + 0.5) / 1000000 AS abs_mod_z
+  FROM w
+)
+SELECT user_id, event_id, roll_n,
+       {_sql_round('roll_median', 6)} AS roll_median,
+       {_sql_round('roll_mad', 6)} AS roll_mad,
+       abs_mod_z,
+       coalesce(abs_mod_z > 3.5, false) AS is_anomaly
+FROM q
+"""
+
+
+def _q_mann_kendall_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per (user, day): exact-integer
+    S and tie term via higher-order expressions over the bucket's
+    time-ordered values; oracle self-joins on row positions. z is
+    continuity-corrected and quantized before the 1.96 trend flag."""
+    from tsclust_spark.operators.trend import mann_kendall
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter((F.col("user_id") <= 30) & F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = mann_kendall(
+        ev, tier="1d", key_col="user_id", tiebreak_col="event_id"
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        "bucket_ts",
+        "n",
+        "s_stat",
+        "z",
+        "trend",
+    )
+
+
+_SQL_MANN_KENDALL_1D = """
+WITH pts AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket_ts, value,
+         row_number() OVER (
+           PARTITION BY user_id, date_trunc('day', ts)
+           ORDER BY ts, event_id) AS pos
+  FROM events WHERE user_id <= 30 AND value IS NOT NULL
+),
+s AS (
+  SELECT a.user_id, a.bucket_ts,
+         CAST(sum(sign(b.value - a.value)) AS BIGINT) AS s_stat
+  FROM pts a
+  JOIN pts b ON b.user_id = a.user_id AND b.bucket_ts = a.bucket_ts
+            AND b.pos > a.pos
+  GROUP BY 1, 2
+),
+n AS (
+  SELECT user_id, bucket_ts, count(*) AS n FROM pts GROUP BY 1, 2
+),
+ties AS (
+  SELECT user_id, bucket_ts,
+         sum(c * (c - 1) * (2 * c + 5)) AS tie_term
+  FROM (
+    SELECT user_id, bucket_ts, value, count(*) AS c
+    FROM pts GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+),
+base AS (
+  SELECT n.user_id, n.bucket_ts, n.n,
+         coalesce(s.s_stat, 0) AS s_stat,
+         CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term AS DOUBLE)
+           / 18.0 AS var_s
+  FROM n
+  LEFT JOIN s USING (user_id, bucket_ts)
+  JOIN ties USING (user_id, bucket_ts)
+),
+zc AS (
+  SELECT user_id, bucket_ts, n, s_stat,
+         CASE WHEN var_s > 0 AND s_stat > 0
+                THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+              WHEN var_s > 0 AND s_stat < 0
+                THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+              WHEN var_s > 0 THEN 0.0 END AS z_raw
+  FROM base
+),
+q AS (
+  SELECT user_id, bucket_ts, n, s_stat,
+         sign(z_raw) * floor(abs(z_raw) * 1000000 + 0.5) / 1000000 AS z
+  FROM zc
+)
+SELECT user_id, bucket_ts, n, s_stat, z,
+       CASE WHEN abs(z) > 1.96 THEN CAST(sign(s_stat) AS INT)
+            ELSE 0 END AS trend
+FROM q
+"""
+
+
 def _q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tabular CUSUM (mu=10, k=0.5, h=25) per user series: one lockstep
     mapInPandas pass; the oracle recursive CTE steps the same exact ops
@@ -3646,6 +3782,8 @@ DRIVER_WINDOW = 50
 # r3-green, code unchanged since their CORRECTNESS_r03 hash-green row,
 # each with redundant local coverage (pytest and/or a shared oracle).
 _BEYOND_WINDOW_VETERANS = [
+    "tier_1m_events",        # r3-green, rollup.py unchanged since r3; rotated out for mad_anomalies_1h (round 4; the 1m tier is also covered by bench legs, fastpath plan tests and the streaming twin)
+    "tier_cascade_1h_events",# r3-green, rollup.py unchanged since r3; rotated out for mann_kendall_1d (round 4; cascade exactness pytest-gated in test_realtime/test_plans)
     "dedup_exact",           # r3-green, function unchanged since r3; rotated out for series_spearman_pairs (round 4; dedup family keeps minhash/groups_cc/simhash coverage)
     "tier_histogram_1h",     # r3-green, histogram.py/rollup.py unchanged since r3; rotated out for pmi_collocations (round 4; hist_percentiles_1h derives from it, pytest-covered)
     "fast1m_jvm",            # r3-green, kernel unchanged since r3; rotated out for holt_winters_events (round 4; shares _SQL_FAST1M with fast1m_arrow, both pytest-plan-gated)
@@ -3733,6 +3871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters_events": _q_holt_winters_events,
         "series_spearman_pairs": _q_series_spearman_pairs,
         "pmi_collocations": _q_pmi_collocations,
+        "mad_anomalies_1h": _q_mad_anomalies_1h,
+        "mann_kendall_1d": _q_mann_kendall_1d,
         # --- stable in-window queries (r3-green) ---
         "window_rep_1h": _q_window_rep_1h,
         "dtw_selfcheck": _q_dtw_selfcheck,
@@ -3740,9 +3880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_invariants": _q_cluster_invariants,
         "dedup_groups_cc": _q_dedup_groups_cc,
         "ivf_topk_full_probe": _q_ivf_topk,
+        # --- beyond the driver window: _BEYOND_WINDOW_VETERANS ---
         "tier_1m_events": _q_tier_1m_events,
         "tier_cascade_1h_events": _q_tier_cascade_1h_events,
-        # --- beyond the driver window: _BEYOND_WINDOW_VETERANS ---
         "dedup_exact": _q_dedup_exact,
         "tier_histogram_1h": _q_tier_histogram_1h,
         "fast1m_jvm": _q_fast1m_jvm,
@@ -3808,6 +3948,8 @@ def oracle_sql() -> dict[str, str]:
         "holt_winters_events": _SQL_HOLT_WINTERS_EVENTS,
         "series_spearman_pairs": _SQL_SERIES_SPEARMAN_PAIRS,
         "pmi_collocations": _SQL_PMI_COLLOCATIONS,
+        "mad_anomalies_1h": _SQL_MAD_ANOMALIES_1H,
+        "mann_kendall_1d": _SQL_MANN_KENDALL_1D,
         # the DTW/cluster kernels are non-SQL-expressible; their driver
         # gates assert kernel self-consistency + invariants as booleans
         # against constant-true oracles (values oracled in tests/)

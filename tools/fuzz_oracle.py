@@ -51,7 +51,7 @@ DEFAULT_QUERIES = [
     "tier_histogram_1h", "hist_percentiles_1h", "m4_downsample_64px",
     "gapfill_locf", "gapfill_linear", "ewma_events", "acf_events",
     "rolling_stats_10m", "rolling_median_10m", "zscore_anomalies_1h",
-    "znorm_events",
+    "mad_anomalies_1h", "mann_kendall_1d", "znorm_events",
     "paa_events", "sax_words_events", "psi_view_vs_purchase",
     "asof_join_events", "asof_interpolate_events", "asof_join_bucketed",
     "session_stats", "session_stats_bucketed",

@@ -87,6 +87,68 @@ def rolling_median(
     )
 
 
+def _arr_median(arr) -> F.Column:
+    """Exact median of an array column via sort + middle elements —
+    linear interpolation at even sizes, the same continuous definition
+    as ``percentile``/``quantile_cont``/DuckDB ``median``."""
+    s = F.array_sort(arr)
+    n = F.size(s)
+    lo = F.element_at(s, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(s, (n / 2 + 1).cast("int"))
+    return (lo + hi) / F.lit(2.0)
+
+
+def mad_anomalies(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+    threshold: float = 3.5,
+    quantize_digits: int = 6,
+) -> DataFrame:
+    """Robust anomaly flags: modified z-score vs the trailing window's
+    median absolute deviation (Iglewicz-Hoaglin: 0.6745*(x - med)/MAD,
+    flag at |z| > 3.5) — the outlier-resistant twin of
+    :func:`zscore_anomalies` (one wild spike inflates mean/std and can
+    mask itself; it barely moves median/MAD).
+
+    MAD is not frame-decomposable (each row's frame has its own
+    median), so the frame's values ride a ``collect_list`` window and
+    both medians are exact JVM higher-order expressions over that
+    array.  Cost: O(frame log frame) per row map-side — bound the frame
+    (time-window x sampling rate) exactly like the exact rolling
+    median.  Same single-Exchange plan as every trailing-window op.
+
+    The score is quantized before the threshold comparison (engine-
+    identical flags); zero-MAD windows yield NULL z and flag false.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    base = df.withColumn("_epoch", epoch)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("_epoch"))
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    arr = F.collect_list(value_col).over(w)
+    med = _arr_median(arr)
+    mad = _arr_median(F.transform(arr, lambda v: F.abs(v - med)))
+    s = float(10**quantize_digits)
+    z_raw = F.lit(0.6745) * (F.col(value_col) - med) / F.nullif(mad, F.lit(0.0))
+    z = F.floor(F.abs(z_raw) * s + F.lit(0.5)) / F.lit(s)
+    return (
+        base.withColumn("roll_n", F.count(F.lit(1)).over(w))
+        .withColumn("roll_median", med)
+        .withColumn("roll_mad", mad)
+        .withColumn("abs_mod_z", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.col("abs_mod_z") > F.lit(threshold), F.lit(False)),
+        )
+        .drop("_epoch")
+    )
+
+
 def zscore_anomalies(
     df: DataFrame,
     key_col: str = "user_id",
