@@ -343,6 +343,18 @@ NOTES = {
         "lookups broadcast at small vocabularies; corpus totals are "
         "single-row scalars."
     ),
+    "mad_anomalies_1h": (
+        "Robust MAD bands: one Exchange on the series key, ONE Window "
+        "node carrying the frame's values as a collect_list; both "
+        "medians are JVM higher-order expressions over that array — "
+        "no Python, no extra shuffle vs the plain z-score plan."
+    ),
+    "mann_kendall_1d": (
+        "Mann-Kendall: single (key, bucket) hash aggregate collects "
+        "the ordered values; S and the tie term are exact-integer HOF "
+        "folds map-side after the aggregate — the O(n^2) pair count "
+        "is the test's intrinsic cost and never crosses the wire."
+    ),
     "m4_downsample_64px": (
         "M4 visualization downsample: ONE Exchange (the (key, pixel) "
         "hash aggregate with map-side partials); the 4-candidate "
