@@ -107,3 +107,78 @@ def test_rolling_median_window_membership(spark):
     assert out[1]["roll_n"] == 1 and out[1]["roll_median"] == 10.0
     assert out[2]["roll_n"] == 2 and out[2]["roll_median"] == 15.0  # interp
     assert out[3]["roll_n"] == 2 and out[3]["roll_median"] == 25.5
+
+
+def test_streaming_contaminated_ids_matches_batch(spark, tmp_path):
+    """Stream-static decontamination flags exactly the docs the batch
+    operator flags, across two micro-batches."""
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from tsclust_spark.operators.contamination import (
+        contaminated_ids_stream,
+        ngram_contamination,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    ev = spark.createDataFrame(
+        [(100, f"benchmark {shared} answer key")], schema
+    )
+    batch1 = [
+        (1, f"intro {shared} trailing words here"),
+        (2, "clean document with plenty of its own original tokens"),
+    ]
+    batch2 = [
+        (3, f"{shared} leaked again in a later crawl batch"),
+        (4, "another clean later document nothing shared at all"),
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    time.sleep(1.1)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    now = time.time()
+    newest = max(
+        (os.path.join(in_dir, f) for f in os.listdir(in_dir)
+         if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    os.utime(newest, (now + 5, now + 5))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        contaminated_ids_stream(stream, ev, n=8)
+        .writeStream.format("memory")
+        .queryName("contam_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"] for r in spark.sql("SELECT * FROM contam_mem").collect()
+    }
+    batch_flags = {
+        r["doc_id"]
+        for r in ngram_contamination(
+            spark.createDataFrame(batch1 + batch2, schema), ev, n=8
+        ).filter("contaminated").collect()
+    }
+    assert got == batch_flags == {1, 3}

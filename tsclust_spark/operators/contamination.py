@@ -68,6 +68,35 @@ def doc_ngrams(
     )
 
 
+def contaminated_ids_stream(
+    stream_docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming decontamination: emit the ids of arriving documents
+    that share any n-gram with the STATIC eval set.
+
+    Shape: the stream side is map-only (gram build + explode); the
+    eval side is a static DataFrame, so this is a stream-static inner
+    join — no streaming state beyond the ``dropDuplicates`` on the
+    flagged ids (bounded by the number of contaminated docs in flight;
+    add a watermark upstream to bound it by time at production scale).
+    The batch twin (:func:`ngram_contamination`) is the certification
+    path; this is the filter you put in the live ingest topology.
+    """
+    tg = doc_ngrams(stream_docs, n, id_col, text_col).select(
+        id_col, F.md5("ngram").alias("_h")
+    )
+    eg = (
+        doc_ngrams(eval_df, n, id_col, text_col)
+        .select(F.md5("ngram").alias("_h"))
+        .distinct()
+    )
+    return tg.join(eg, "_h").select(id_col).dropDuplicates([id_col])
+
+
 def ngram_contamination(
     train: DataFrame,
     eval_df: DataFrame,
