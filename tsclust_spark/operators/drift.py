@@ -192,3 +192,57 @@ def ks_statistic(
         )
         .withColumn("drifted", F.col("ks_d") > F.lit(threshold))
     )
+
+
+def embedding_centroid_drift(
+    df: DataFrame,
+    slice_col: str,
+    slice_a,
+    slice_b,
+    vec_col: str = "embedding",
+    threshold: float = 0.05,
+    quantize_digits: int = 6,
+) -> DataFrame:
+    """Embedding-modality drift: cosine distance between two slices'
+    centroid vectors — did the new crawl's semantic center move?
+    Completes the drift family across modalities (numeric PSI,
+    vocabulary PSI, KS, Zipf -> embeddings).
+
+    Plan shape: ONE posexplode + hash aggregate produces per-(slice,
+    dim) means (dims x 2 rows — metadata-scale regardless of corpus
+    size); the cosine is a dim-keyed join of two tiny tables plus one
+    final aggregate.  No vector ever rides a shuffle whole.
+
+    Output: one row ``(n_a, n_b, cosine_sim, cosine_dist, drifted)``;
+    distance quantized before the threshold flag; degenerate zero-norm
+    centroids yield NULL similarity and flag false.
+    """
+    pts = df.filter(
+        F.col(slice_col).isin([slice_a, slice_b]) & F.col(vec_col).isNotNull()
+    ).select(
+        (F.col(slice_col) == slice_a).alias("is_a"),
+        F.posexplode(vec_col).alias("dim", "x"),
+    )
+    means = pts.groupBy("dim").agg(
+        F.avg(F.when(F.col("is_a"), F.col("x"))).alias("ma"),
+        F.avg(F.when(~F.col("is_a"), F.col("x"))).alias("mb"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("cb"),
+    )
+    s = float(10**quantize_digits)
+    agg = means.agg(
+        (F.max("ca")).alias("n_a"),
+        (F.max("cb")).alias("n_b"),
+        F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+        F.sqrt(F.sum(F.col("ma") * F.col("ma"))).alias("na"),
+        F.sqrt(F.sum(F.col("mb") * F.col("mb"))).alias("nb"),
+    )
+    sim = F.col("dot") / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+    dist = F.floor((F.lit(1.0) - sim) * F.lit(s) + F.lit(0.5)) / F.lit(s)
+    return agg.select(
+        "n_a",
+        "n_b",
+        sim.alias("cosine_sim"),
+        dist.alias("cosine_dist"),
+        F.coalesce(dist > F.lit(threshold), F.lit(False)).alias("drifted"),
+    )
