@@ -3002,7 +3002,7 @@ agg AS (
          sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
   FROM pts GROUP BY 1
 )
-SELECT source, n_vocab, n_tokens,
+SELECT source, n_vocab, CAST(n_tokens AS BIGINT) AS n_tokens,
        {_sql_round('''CASE WHEN CAST(n_vocab AS DOUBLE) * sxx - sx * sx > 0
             THEN (CAST(n_vocab AS DOUBLE) * sxy - sx * sy)
                  / (CAST(n_vocab AS DOUBLE) * sxx - sx * sx) END''', 6)}
