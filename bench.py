@@ -753,7 +753,24 @@ def scaling_main() -> int:
         lo, hi, probe_effs = _pick_scaling_pair(cpu_probe, bw_probe)
     else:
         lo, hi = (int(c) for c in SCALING_CORES.split(","))
+        # pinned pair still gets its instrument-ceiling score from the
+        # backing probes (same formula as _pick_scaling_pair)
         probe_effs = {}
+        if lo in cpu_probe and hi in cpu_probe:
+            _f = hi / lo
+            ce = round(cpu_probe[hi] / cpu_probe[lo] / _f, 3)
+            be = (
+                round(bw_probe[hi] / bw_probe[lo] / _f, 3)
+                if bw_probe and lo in bw_probe and hi in bw_probe
+                else None
+            )
+            probe_effs = {
+                f"{lo}v{hi}": {
+                    "cpu": ce,
+                    "bw": be,
+                    "score": round(min(ce, be) if be is not None else ce, 3),
+                }
+            }
     print(f"# scaling pair: local[{lo}] vs local[{hi}] "
           f"(probe pair efficiencies: {probe_effs})", file=sys.stderr)
     factor = hi / lo
