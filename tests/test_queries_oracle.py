@@ -50,6 +50,24 @@ def test_query_matches_oracle(spark, con, name):
 
 
 @pytest.mark.spark
+@pytest.mark.parametrize("name", sorted(entrymod.queued_queries().keys()))
+def test_queued_query_matches_oracle(spark, con, name):
+    """Queued driver gates (window at capacity) get the same value-level
+    comparison the driver would run — certified locally until a
+    round-5 slot frees (see __spark_entry__.queued_queries)."""
+    fn = entrymod.queued_queries()[name]
+    got = normalize(fn(spark, SF_DIR).toPandas())
+    want = normalize(
+        con.execute(entrymod.queued_oracle_sql()[name]).fetchdf()
+    )
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9
+    )
+
+
+@pytest.mark.spark
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0

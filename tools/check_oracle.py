@@ -56,6 +56,9 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    # queued driver gates (window at capacity) check the same way
+    qs = {**qs, **e.queued_queries()}
+    oracles = {**oracles, **e.queued_oracle_sql()}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
