@@ -3874,6 +3874,89 @@ LEFT JOIN centered c ON b.user_id = c.user_id AND b.pos % 7 = c.slot
 """
 
 
+def _q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): FFD-pack the documents
+    table into 128-token context windows over 8 hash buckets, then emit
+    the per-doc invariant booleans — every doc packed exactly once, no
+    pack over capacity, concatenation offsets consistent. The oracle is
+    the constant-true documents projection (multiset equality also
+    proves exactly-once coverage); pack-assignment VALUES are gated in
+    tests/test_packing.py against the pure-Python FFD reference."""
+    from tsclust_spark.operators.packing import pack_invariants, pack_sequences
+    from tsclust_spark.operators.textstats import token_count
+
+    docs = token_count(_load(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("ws_tokens").cast("long").alias("n_tok")
+    )
+    packed = pack_sequences(
+        docs, capacity=128, len_col="n_tok", id_col="doc_id", n_buckets=8
+    )
+    inv = pack_invariants(packed, capacity=128)
+    return inv.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("length").alias("n_tok"),
+        "ok_fits",
+        "ok_offset",
+        "ok_once",
+    )
+
+
+_SQL_PACK_DOCS = """
+SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       w -> len(w) > 0)) AS BIGINT) AS n_tok,
+  true AS ok_fits, true AS ok_offset, true AS ok_once
+FROM documents
+"""
+
+
+def _q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (operators/sampling.py::mixture_sample):
+    draw ~30 docs at a 50/30/20 source mixture via per-source
+    deterministic md5 acceptance thresholds computed from exact group
+    counts. The oracle recomputes counts, the IEEE threshold formula,
+    and the hex-threshold encoding in SQL — the full recipe is
+    cross-engine, so the sampled row SET hash-matches."""
+    from tsclust_spark.operators.sampling import mixture_sample
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    out = mixture_sample(
+        docs,
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        total=30,
+        seed="tsclust-mix",
+    )
+    return out.select("doc_id", "source")
+
+
+_SQL_MIXTURE_SAMPLE_DOCS = """
+WITH tgt AS (
+  SELECT * FROM (VALUES
+    ('src0', CAST(0.5 AS DOUBLE)),
+    ('src1', CAST(0.3 AS DOUBLE)),
+    ('src2', CAST(0.2 AS DOUBLE))) t(source, w)
+),
+thr AS (
+  SELECT source,
+         CASE WHEN v >= 4294967296 THEN 'g0000000'
+              ELSE printf('%08x', v) END AS thr
+  FROM (
+    SELECT t.source,
+           CAST(floor(least(1.0, t.w * 30.0 / CAST(c.n AS DOUBLE))
+                      * 4294967296.0) AS BIGINT) AS v
+    FROM tgt t
+    JOIN (SELECT source, count(*) AS n FROM documents GROUP BY source) c
+      ON t.source = c.source
+  )
+)
+SELECT d.doc_id, d.source
+FROM documents d
+JOIN thr ON d.source = thr.source
+WHERE substring(md5('tsclust-mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+      < thr.thr
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -3884,6 +3967,8 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ks_view_vs_purchase": _q_ks_view_vs_purchase,
         "decompose_additive_events": _q_decompose_additive,
+        "pack_docs_128": _q_pack_docs,
+        "mixture_sample_docs": _q_mixture_sample_docs,
     }
 
 
@@ -3891,6 +3976,8 @@ def queued_oracle_sql() -> dict[str, str]:
     return {
         "ks_view_vs_purchase": _SQL_KS_VIEW_VS_PURCHASE,
         "decompose_additive_events": _SQL_DECOMPOSE_ADDITIVE,
+        "pack_docs_128": _SQL_PACK_DOCS,
+        "mixture_sample_docs": _SQL_MIXTURE_SAMPLE_DOCS,
     }
 
 

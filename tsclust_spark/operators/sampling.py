@@ -109,3 +109,56 @@ def cap_per_group(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n)
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "tsclust-mix",
+) -> DataFrame:
+    """Sample ~``total`` rows whose ``group_col`` composition matches a
+    target mixture — the domain-reweighting step of a training-data
+    pipeline ("40% web, 30% code, ..."). Groups absent from
+    ``weights`` are dropped.
+
+    Per-group acceptance rate: ``r_g = min(1, w_g * total / n_g)`` —
+    capped at 1, so a group smaller than its target contributes all it
+    has (the shortfall is reported honestly rather than silently
+    re-normalized; upsampling/repetition is a separate policy
+    decision). Acceptance is the same deterministic md5 draw as
+    ``sample_fraction_by_hash``: a pure function of (seed, id) given
+    the exact group counts, reproducible across engines, cluster
+    sizes, and partitionings.
+
+    Scale notes (100 TB): one group-cardinality aggregate (metadata
+    scale — groups, not rows, come back to the driver), then a
+    broadcast join of per-group thresholds and a map-only filter. The
+    sampled output is ~Binomial(n_g, r_g) per group; for exact-count
+    targets compose with ``cap_per_group`` downstream.
+    """
+    total_w = sum(weights.values())
+    if abs(total_w - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total_w}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).count().collect()
+    }
+    rows = [
+        (g, threshold_hex(min(1.0, w * float(total) / float(counts[g]))))
+        for g, w in weights.items()
+        if counts.get(g)
+    ]
+    if not rows:
+        return df.filter(F.lit(False))
+    thr = df.sparkSession.createDataFrame(
+        rows, f"{group_col} string, _thr string"
+    )
+    key = F.substring(_hash_key(id_col, seed), 1, 8)
+    return (
+        df.join(F.broadcast(thr), group_col, "inner")
+        .filter(key < F.col("_thr"))
+        .drop("_thr")
+    )
