@@ -362,6 +362,23 @@ NOTES = {
         "belongs to exactly one pixel, so no distinct() shuffle "
         "exists in the plan. Struct-typed min/max buffers plan as a SortAggregate (partial+final around the single Exchange)."
     ),
+    "pack_docs_128": (
+        "Sequence packing: the FFD kernel is ONE FlatMapGroupsInPandas "
+        "fed by a single Exchange on the md5-derived bucket; the scan "
+        "projects only (doc_id, text-derived length) — the packed "
+        "payload is joined back by id downstream and never rides the "
+        "packing shuffle. The invariant windows cost two further "
+        "Exchanges (pack_id for fits/offsets, id for exactly-once) — "
+        "over rows that are already just ids+lengths, and only in the "
+        "verification gate, not the packing path."
+    ),
+    "mixture_sample_docs": (
+        "Domain-mixture sampling: per-source acceptance thresholds are "
+        "a groups-cardinality table joined via BroadcastHashJoin "
+        "(explicit F.broadcast); acceptance itself is a map-side "
+        "md5-prefix string compare — no corpus shuffle, no RNG state, "
+        "deterministic on any partitioning."
+    ),
 }
 
 
@@ -371,7 +388,7 @@ def main() -> int:
     from tsclust_spark.session import get_spark
 
     spark = get_spark("explain-audit", cores=4, shuffle_partitions=8)
-    qs = e.queries()
+    qs = {**e.queries(), **e.queued_queries()}
     out = [
         "# EXPLAIN audit — formatted physical plans of the headline operators",
         "",
