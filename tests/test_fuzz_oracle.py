@@ -47,9 +47,9 @@ def con(fuzz_dir):
 @pytest.mark.spark
 @pytest.mark.parametrize("name", sorted(DEFAULT_QUERIES))
 def test_query_matches_oracle_on_hostile_fixture(spark, fuzz_dir, con, name):
-    fn = entrymod.queries()[name]
+    fn = {**entrymod.queries(), **entrymod.queued_queries()}[name]
     got = normalize(fn(spark, fuzz_dir).toPandas())
-    oracles = entrymod.oracle_sql()
+    oracles = {**entrymod.oracle_sql(), **entrymod.queued_oracle_sql()}
     if name not in oracles:
         assert len(got) >= 0  # rows-only check, mirrors the driver
         return

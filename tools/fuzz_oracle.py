@@ -80,6 +80,10 @@ DEFAULT_QUERIES = [
     # a constant-zero token sequence, the one-hot a near-constant one
     "codec_roundtrip", "fast1m_jvm", "fast1m_arrow",
     "raw_range_scan", "raw_value_scan",
+    # queued driver gates (__spark_entry__.queued_queries) get the
+    # same hostile treatment before they ever reach the driver
+    "ks_view_vs_purchase", "decompose_additive_events",
+    "pack_docs_128", "mixture_sample_docs",
 ]
 
 
