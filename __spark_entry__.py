@@ -3957,6 +3957,63 @@ WHERE substring(md5('tsclust-mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
 """
 
 
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (operators/packing.py::
+    chunk_sequences): split each document's word array into 32-token
+    chunks at stride 24 (8-token overlap) with pure JVM array
+    expressions — posexplode over a start sequence plus a slice, zero
+    Python, zero shuffle. The oracle steps the identical
+    generate_series + list-slice recipe, so chunk CONTENT (not just
+    counts) hash-matches."""
+    from tsclust_spark.operators.packing import chunk_sequences
+    from tsclust_spark.operators.textstats import _words
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            _words(F.col("text")), lambda w: F.length(w) > 0
+        ).alias("words"),
+    )
+    out = chunk_sequences(
+        docs, chunk_size=32, stride=24, tokens_col="words", id_col="doc_id"
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "start_pos",
+        "n_chunk",
+        F.concat_ws(" ", "chunk_tokens").alias("chunk_text"),
+    )
+
+
+_SQL_CHUNK_DOCS = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> len(x) > 0) AS words
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, words,
+         unnest(generate_series(0, greatest(len(words) - 1, 0), 24))
+           AS start_pos
+  FROM w
+),
+chunks AS (
+  SELECT doc_id, start_pos,
+         words[start_pos + 1 : start_pos + 32] AS chunk
+  FROM starts
+)
+SELECT doc_id,
+       CAST(start_pos // 24 AS INT) AS chunk_idx,
+       CAST(start_pos AS INT) AS start_pos,
+       CAST(len(chunk) AS INT) AS n_chunk,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM chunks
+WHERE len(chunk) >= 1
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -3969,6 +4026,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decompose_additive_events": _q_decompose_additive,
         "pack_docs_128": _q_pack_docs,
         "mixture_sample_docs": _q_mixture_sample_docs,
+        "chunk_docs_32": _q_chunk_docs,
     }
 
 
@@ -3978,6 +4036,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "decompose_additive_events": _SQL_DECOMPOSE_ADDITIVE,
         "pack_docs_128": _SQL_PACK_DOCS,
         "mixture_sample_docs": _SQL_MIXTURE_SAMPLE_DOCS,
+        "chunk_docs_32": _SQL_CHUNK_DOCS,
     }
 
 

@@ -180,3 +180,66 @@ def test_mixture_caps_small_groups(spark):
 def test_mixture_weight_validation(spark):
     with pytest.raises(ValueError):
         mixture_sample(_docs(spark), {"a": 0.5, "b": 0.2}, total=10)
+
+
+# ---------------------------------------------------------------------------
+# chunk_sequences
+# ---------------------------------------------------------------------------
+
+
+def _chunk_reference(tokens, chunk_size, stride, min_tokens=1):
+    out = []
+    starts = range(0, max(len(tokens) - 1, 0) + 1, stride)
+    for idx, s in enumerate(starts):
+        c = tokens[s : s + chunk_size]
+        if len(c) >= min_tokens:
+            out.append((idx, s, len(c), c))
+    return out
+
+
+def test_chunk_matches_reference(spark):
+    from tsclust_spark.operators.packing import chunk_sequences
+
+    rows = [
+        ("d0", [i for i in range(100)]),   # multiple chunks + short tail
+        ("d1", [1, 2, 3]),                 # single partial chunk
+        ("d2", []),                        # empty -> no chunks
+        ("d3", [7] * 32),                  # exactly one full chunk (+tail at 24)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {}
+    for r in chunk_sequences(df, 32, stride=24).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start_pos"], r["n_chunk"], r["chunk_tokens"])
+        )
+    for doc_id, toks in rows:
+        want = _chunk_reference(toks, 32, 24)
+        assert sorted(got.get(doc_id, [])) == want, doc_id
+
+
+def test_chunk_no_overlap_default_reconstructs(spark):
+    from pyspark.sql import functions as FF
+
+    from tsclust_spark.operators.packing import chunk_sequences
+
+    toks = list(range(75))
+    df = spark.createDataFrame(
+        [("d", toks)], "doc_id string, tokens array<int>"
+    )
+    out = (
+        chunk_sequences(df, 32)  # stride defaults to chunk_size
+        .orderBy("chunk_idx")
+        .agg(FF.flatten(FF.collect_list("chunk_tokens")).alias("rt"))
+        .first()["rt"]
+    )
+    assert out == toks  # disjoint chunks cover the doc exactly once
+
+
+def test_chunk_validation(spark):
+    from tsclust_spark.operators.packing import chunk_sequences
+
+    df = spark.createDataFrame([("d", [1])], "doc_id string, tokens array<int>")
+    with pytest.raises(ValueError):
+        chunk_sequences(df, 0)
+    with pytest.raises(ValueError):
+        chunk_sequences(df, 8, stride=0)

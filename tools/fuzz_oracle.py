@@ -83,7 +83,7 @@ DEFAULT_QUERIES = [
     # queued driver gates (__spark_entry__.queued_queries) get the
     # same hostile treatment before they ever reach the driver
     "ks_view_vs_purchase", "decompose_additive_events",
-    "pack_docs_128", "mixture_sample_docs",
+    "pack_docs_128", "mixture_sample_docs", "chunk_docs_32",
 ]
 
 

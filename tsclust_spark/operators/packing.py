@@ -175,3 +175,59 @@ def pack_invariants(packed: DataFrame, capacity: int) -> DataFrame:
         ).alias("ok_offset"),
         (F.count(F.lit(1)).over(w_id) == 1).alias("ok_once"),
     )
+
+
+def chunk_sequences(
+    df: DataFrame,
+    chunk_size: int,
+    stride: int | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Split each row's token array into fixed-size context chunks —
+    the upstream companion of :func:`pack_sequences`: documents longer
+    than the window are chunked here (optionally with overlap via
+    ``stride`` < ``chunk_size``), then the chunks pack.
+
+    Chunk starts are ``0, stride, 2*stride, ...`` while < the array
+    length; each chunk is ``tokens[start : start+chunk_size]`` (the
+    last one may be shorter); chunks with fewer than ``min_tokens``
+    tokens are dropped (empty arrays therefore vanish).
+
+    Output: ``(id_col, chunk_idx, start_pos, n_chunk, chunk_tokens)``.
+
+    Scale shape: pure JVM array expressions — posexplode over a
+    sequence of starts plus a slice; zero Python, zero shuffle, fused
+    into the scan by whole-stage codegen. Output size is input tokens
+    x (chunk_size/stride) overlap factor, the unavoidable cost of
+    overlap — everything else is map-only.
+    """
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    stride = chunk_size if stride is None else stride
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    n = F.size(tokens_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_idx", "start_pos"),
+        F.col(tokens_col).alias("_toks"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        "start_pos",
+        F.slice(
+            F.col("_toks"), F.col("start_pos") + 1, chunk_size
+        ).alias("chunk_tokens"),
+    )
+    return out.filter(F.size("chunk_tokens") >= min_tokens).select(
+        id_col,
+        "chunk_idx",
+        "start_pos",
+        F.size("chunk_tokens").alias("n_chunk"),
+        "chunk_tokens",
+    )
