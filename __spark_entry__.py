@@ -4014,6 +4014,65 @@ WHERE len(chunk) >= 1
 """
 
 
+def _q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus span dedup (operators/dedup.py::
+    span_dedup_corpus): keep only the globally first occurrence of
+    every word 5-gram span, reassemble docs. The synthetic corpus's
+    31-word vocabulary makes span collisions pervasive, so the gate
+    exercises heavy survivor selection; the oracle steps the identical
+    chunk -> row_number -> ordered string_agg recipe, comparing the
+    REASSEMBLED TEXT per doc, not just counts."""
+    from tsclust_spark.operators.dedup import span_dedup_corpus
+
+    return span_dedup_corpus(
+        _load(spark, sf_dir, "documents"), span=5
+    )
+
+
+_SQL_SPAN_DEDUP_DOCS = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> len(x) > 0) AS words
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, words,
+         unnest(generate_series(0, greatest(len(words) - 1, 0), 5))
+           AS s
+  FROM w
+),
+spans AS (
+  SELECT doc_id, CAST(s // 5 AS INT) AS idx,
+         array_to_string(words[s + 1 : s + 5], ' ') AS span
+  FROM starts
+  WHERE len(words[s + 1 : s + 5]) >= 1
+),
+ranked AS (
+  SELECT doc_id, idx, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, idx)
+           AS rn
+  FROM spans
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         coalesce(
+           string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY idx),
+           '') AS text_clean
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.n_kept, 0) AS n_kept,
+       coalesce(p.text_clean, '') AS text_clean
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -4027,6 +4086,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_docs_128": _q_pack_docs,
         "mixture_sample_docs": _q_mixture_sample_docs,
         "chunk_docs_32": _q_chunk_docs,
+        "span_dedup_docs": _q_span_dedup_docs,
     }
 
 
@@ -4037,6 +4097,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "pack_docs_128": _SQL_PACK_DOCS,
         "mixture_sample_docs": _SQL_MIXTURE_SAMPLE_DOCS,
         "chunk_docs_32": _SQL_CHUNK_DOCS,
+        "span_dedup_docs": _SQL_SPAN_DEDUP_DOCS,
     }
 
 

@@ -243,3 +243,44 @@ def test_chunk_validation(spark):
         chunk_sequences(df, 0)
     with pytest.raises(ValueError):
         chunk_sequences(df, 8, stride=0)
+
+
+# ---------------------------------------------------------------------------
+# span_dedup_corpus (lives in operators/dedup.py; chunking composition)
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_keeps_first_occurrence(spark):
+    from tsclust_spark.operators.dedup import span_dedup_corpus
+
+    rows = [
+        (1, "a b c d e f g h i j"),    # spans: "a b c d e", "f g h i j"
+        (2, "a b c d e x y"),          # first span duplicates doc 1's
+        (3, ""),                        # empty doc -> zeros row
+        (4, "f g h i j"),               # whole doc is a dup span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_dedup_corpus(df, span=5).collect()}
+    assert len(got) == 4
+    assert got[1]["text_clean"] == "a b c d e f g h i j"
+    assert (got[1]["n_spans"], got[1]["n_kept"]) == (2, 2)
+    # doc 2 loses its duplicated first span, keeps the "x y" tail span
+    assert got[2]["text_clean"] == "x y"
+    assert (got[2]["n_spans"], got[2]["n_kept"]) == (2, 1)
+    assert (got[3]["n_spans"], got[3]["n_kept"], got[3]["text_clean"]) == (
+        0, 0, "",
+    )
+    assert got[4]["text_clean"] == "" and got[4]["n_kept"] == 0
+
+
+def test_span_dedup_partitioning_invariance(spark):
+    from tsclust_spark.operators.dedup import span_dedup_corpus
+
+    words = ["w%d" % (i % 9) for i in range(60)]
+    rows = [
+        (i, " ".join(words[i % 7 :] + words[: i % 7])) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = span_dedup_corpus(df, span=5)
+    b = span_dedup_corpus(df.repartition(11), span=5)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -84,6 +84,7 @@ DEFAULT_QUERIES = [
     # same hostile treatment before they ever reach the driver
     "ks_view_vs_purchase", "decompose_additive_events",
     "pack_docs_128", "mixture_sample_docs", "chunk_docs_32",
+    "span_dedup_docs",
 ]
 
 

@@ -421,3 +421,78 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def span_dedup_corpus(
+    df: DataFrame,
+    span: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level exact SPAN dedup (the C4 recipe, Raffel et al.
+    2020 §2.2, adapted from three-sentence spans to fixed word
+    ``span``-grams): partition every document's words into consecutive
+    non-overlapping spans, keep only the globally FIRST occurrence of
+    each distinct span (ordered by (doc_id, span index) — a total
+    order, so the survivor set is deterministic on any partitioning),
+    and reassemble each document from its kept spans in order.
+
+    Output: one row per input document —
+    ``(id_col, n_spans, n_kept, text_clean)`` (empty docs keep a row
+    with zeros and ``''`` so the output is a total function of the
+    corpus).
+
+    Scale shape: spans come from :func:`packing.chunk_sequences`
+    (map-only posexplode+slice); first-occurrence is ONE Exchange on
+    the span text (a row_number window — common spans are hot keys, so
+    at web scale pre-hash the span to 64 bits and let AQE's skew
+    handling split the straggler partitions); re-nesting is one
+    Exchange on the doc id. The corpus text rides each shuffle once.
+    """
+    from tsclust_spark.operators.packing import chunk_sequences
+    from tsclust_spark.operators.textstats import _words
+
+    docs = df.select(
+        id_col,
+        F.filter(_words(F.col(text_col)), lambda w: F.length(w) > 0).alias(
+            "_wds"
+        ),
+    )
+    spans = chunk_sequences(
+        docs, span, tokens_col="_wds", id_col=id_col
+    ).select(
+        id_col,
+        F.col("chunk_idx").alias("idx"),
+        F.concat_ws(" ", "chunk_tokens").alias("span"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("span").orderBy(id_col, "idx")
+    )
+    ranked = spans.withColumn("rn", rn)
+    per_doc = ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1, F.struct("idx", "span")
+                        )
+                    )
+                ),
+                lambda x: x["span"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
