@@ -41,7 +41,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                    help="pre-chunk docs longer than capacity")
     p.add_argument("--stride", type=int, default=None,
                    help="chunk stride (default: capacity, no overlap)")
-    p.add_argument("--n-buckets", type=int, default=32)
+    p.add_argument("--n-buckets", type=int, default=0,
+                   help="packing buckets; 0 = auto (~8k units/bucket — "
+                        "the FFD scan is O(n*bins) per bucket, see "
+                        "operators/packing.py)")
     p.add_argument("--seed", default="tsclust-pack")
     p.add_argument("--dry-run", action="store_true",
                    help="report metrics only, write nothing")
@@ -79,9 +82,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         )
 
     skinny = units.select("unit_id", "n_tok")
+    n_buckets = args.n_buckets
+    if not n_buckets:
+        # one map-only count to size buckets at ~8k units each: the
+        # per-bucket FFD scan is O(n*bins), so bucket SIZE is capped
+        # and bucket COUNT carries the scale (operators/packing.py)
+        n_units_pre = skinny.count() if args.chunk else n_docs
+        n_buckets = max(32, -(-n_units_pre // 8000))
     assign = pack_sequences(
         skinny, args.capacity, len_col="n_tok", id_col="unit_id",
-        n_buckets=args.n_buckets, seed=args.seed,
+        n_buckets=n_buckets, seed=args.seed,
     )
     bad = (
         pack_invariants(assign, args.capacity)

@@ -14,13 +14,17 @@ Distributed shape (the 100-TB story):
 - Documents are hash-bucketed by md5(seed|id) into ``n_buckets``
   independent packing problems; each bucket packs locally with
   first-fit-decreasing (FFD) inside one ``applyInPandas`` group. FFD is
-  inherently sequential, so the bucket is the parallelism unit: size
-  ``n_buckets`` so a bucket holds ~1e5-1e6 (id, len) pairs (a few MB).
-  Bucket-local packing costs a constant factor of waste vs a global
-  pack (each bucket wastes at most one partially-filled bin per bin
-  size class), which at realistic bucket sizes is noise — and the
-  assignment is a pure function of (seed, ids, lengths), independent of
-  cluster size or input partitioning, so reruns are byte-identical.
+  inherently sequential AND its first-fit scan is O(n * open_bins) —
+  measured: 10k docs/bucket ≈ 0.5 s, 50k ≈ 17 s, 200k ≈ 230 s — so
+  size ``n_buckets`` for ~2-10k (id, len) pairs per bucket
+  (``jobs/pack.py`` auto-sizes to ~8k). Bucket COUNT is the free
+  variable: buckets are hash-derived, so 10^12 docs simply means ~10^8
+  buckets, and Spark schedules them across however many executors
+  exist. The cost of more buckets is boundary waste (at most one
+  partially-filled bin per bucket per size class), negligible at
+  thousands of docs per bucket — and the assignment stays a pure
+  function of (seed, ids, lengths), independent of cluster size or
+  input partitioning, so reruns are byte-identical.
 - Oversize documents (length > capacity) are emitted as singleton
   packs flagged ``oversize`` — chunk-or-drop is an upstream curation
   decision (operators/curate.py), not something packing should hide.
