@@ -649,6 +649,43 @@ def _measure_once(fn) -> float:
     return _t.time() - t0
 
 
+def _host_counters() -> dict | None:
+    """Zero-interference host-interference snapshot: cumulative KVM
+    steal ticks (/proc/stat) and Linux PSI stall totals (microseconds,
+    /proc/pressure/*). End-minus-start deltas over a timed leg give the
+    fraction of the leg the HOST spent stalling this guest — direct
+    evidence that a slow wall was external interference, independent of
+    the job's own CPU/bus usage (unlike an in-leg probe, which the job
+    itself would depress)."""
+    try:
+        parts = open("/proc/stat").readline().split()
+        steal, total = int(parts[8]), sum(int(x) for x in parts[1:])
+        psi = {}
+        for res in ("cpu", "io", "memory"):
+            line = open(f"/proc/pressure/{res}").readline()
+            psi[res] = int(line.rsplit("total=", 1)[1])
+        return {"steal": steal, "total": total, "psi": psi,
+                "t": time.time()}
+    except Exception:
+        return None
+
+
+def _host_interference(a: dict | None, b: dict | None) -> dict:
+    if not a or not b:
+        return {}
+    wall_us = max((b["t"] - a["t"]) * 1e6, 1.0)
+    out = {
+        "steal_frac": round(
+            (b["steal"] - a["steal"]) / max(b["total"] - a["total"], 1), 4
+        )
+    }
+    for res in ("cpu", "io", "memory"):
+        out[f"psi_{res}_frac"] = round(
+            (b["psi"][res] - a["psi"][res]) / wall_us, 4
+        )
+    return out
+
+
 def scaling_one(cores: int) -> None:
     """One interleaved measurement leg (subprocess mode): a single
     rollup-cascade wall + codec wall at the given core count."""
@@ -678,6 +715,7 @@ def scaling_one(cores: int) -> None:
     split = max(4 * 1024 * 1024, total_bytes // (cores * 4))
     probe_before = _cpu_quick_probe()
     bw_before = _bw_quick_probe()
+    host_before = _host_counters()
     spark = get_spark(
         f"scale1-{cores}", cores=cores, shuffle_partitions=max(cores, 8),
         extra_confs={
@@ -715,6 +753,7 @@ def scaling_one(cores: int) -> None:
         )
     finally:
         spark.stop()
+    host_after = _host_counters()
     probe_after = _cpu_quick_probe()
     bw_after = _bw_quick_probe()
     print(json.dumps({
@@ -731,6 +770,10 @@ def scaling_one(cores: int) -> None:
         # host's memory system rather than the job
         "probe_bw_gbps": round(min(bw_before, bw_after), 2),
         "probe_bw_pair": [bw_before, bw_after],
+        # host-interference counters over the whole leg (steal ticks +
+        # PSI stall totals): fraction of the leg the host stalled this
+        # guest — catches mid-leg stall windows the boundary probes miss
+        "host_interference": _host_interference(host_before, host_after),
     }))
 
 
@@ -1018,6 +1061,15 @@ def scaling_main() -> int:
             f"local[{lo}]={probes[lo]}, local[{hi}]={probes[hi]}.\n"
             f"Per-leg bandwidth probes (GB/s, fixed 4-process stream): "
             f"local[{lo}]={probes_bw[lo]}, local[{hi}]={probes_bw[hi]}.\n"
+            f"Per-leg host-interference counters (whole-leg deltas of KVM "
+            f"steal ticks and Linux PSI stall totals — direct, "
+            f"zero-interference evidence of EXTERNAL stalls during a leg, "
+            f"including mid-leg windows the boundary probes cannot see; "
+            f"fractions of the leg wall): "
+            f"local[{lo}]={[l.get('host_interference') for l in legs[lo]]}, "
+            f"local[{hi}]={[l.get('host_interference') for l in legs[hi]]}. "
+            f"Disclosure only this campaign (not part of the gate "
+            f"statistic).\n"
             f"Best-of-walls-per-side efficiencies (round-2 statistic, "
             f"reported for continuity): rollup {eff:.3f}, codec {ceff:.3f}.\n\n"
             "**Why %d-vs-%d:** the sandbox VM's CPU entitlement is elastic\n"
@@ -1097,6 +1149,9 @@ def scaling_main() -> int:
         },
         "leg_probe_mops": probes,
         "leg_probe_bw_gbps": probes_bw,
+        "leg_host_interference": {
+            c: [l.get("host_interference") for l in legs[c]] for c in (lo, hi)
+        },
         "cpu_backing_probe_mops": cpu_probe,
         "bw_backing_probe_gbps": bw_probe,
         "pair_probe_efficiencies": probe_effs,
