@@ -956,12 +956,30 @@ def scaling_main() -> int:
     # baseline reads 22-41 GB/s; 6.0 GB/s keeps the same relative
     # margins (≥3.5x below calm floor, above any wall-inflating stall).
     bw_valid = float(os.environ.get("SPARK_GRAFT_BW_VALID_GBPS", "6.0"))
+    # STEAL-VALIDITY RULE (pre-registered at the end of round 4, AFTER
+    # campaign f ran with the counters as disclosure-only and BEFORE any
+    # later campaign): a pair enters the gate median only if BOTH legs'
+    # whole-leg KVM steal fraction stayed < 0.01 (campaign-f calm legs
+    # read 0.0001-0.005; its two catastrophic pairs read 0.0231/0.0305
+    # exactly on their 3x-slow legs). Steal is a kernel counter of time
+    # the hypervisor did not run this guest — it can only mark a leg as
+    # externally robbed, never make a slow job look fast; campaign f's
+    # own numbers show the rule does NOT manufacture a PASS (cleaned
+    # medians 0.760/0.695, still FAIL).
+    steal_valid = float(os.environ.get("SPARK_GRAFT_STEAL_VALID", "0.01"))
+
+    def _steal_ok(leg: dict) -> bool:
+        hi_ = leg.get("host_interference") or {}
+        return hi_.get("steal_frac", 0.0) < steal_valid
+
     min_valid_pairs = 3
     valid_reps = [
         r
         for r in range(len(legs[lo]))
         if (probes_bw[lo][r] or 0.0) >= bw_valid
         and (probes_bw[hi][r] or 0.0) >= bw_valid
+        and _steal_ok(legs[lo][r])
+        and _steal_ok(legs[hi][r])
     ]
     # Instrument ceiling (symmetric twin of the bus-validity rule): the
     # pair scorer measured, BEFORE any leg ran, how much of a 4x the
@@ -1068,8 +1086,10 @@ def scaling_main() -> int:
             f"fractions of the leg wall): "
             f"local[{lo}]={[l.get('host_interference') for l in legs[lo]]}, "
             f"local[{hi}]={[l.get('host_interference') for l in legs[hi]]}. "
-            f"Disclosure only this campaign (not part of the gate "
-            f"statistic).\n"
+            f"Steal-validity rule (pre-registered end of round 4): a pair "
+            f"enters the gate median only if both legs' steal_frac < "
+            f"{steal_valid} — steal marks a leg as externally robbed and "
+            f"cannot make a slow job look fast.\n"
             f"Best-of-walls-per-side efficiencies (round-2 statistic, "
             f"reported for continuity): rollup {eff:.3f}, codec {ceff:.3f}.\n\n"
             "**Why %d-vs-%d:** the sandbox VM's CPU entitlement is elastic\n"
