@@ -1053,7 +1053,9 @@ def scaling_main() -> int:
             "keep the same relative margins). A "
             "wall taken inside a bus stall measures the neighbor, not the "
             f"job, so a pair counts only if both legs' bus probes cleared "
-            f"{bw_valid:.1f} GB/s; valid pairs this run (0-based): "
+            f"{bw_valid:.1f} GB/s AND both legs' whole-leg KVM steal_frac "
+            f"stayed < {steal_valid} (the pre-registered steal-validity "
+            "rule; counters below); valid pairs this run (0-based): "
             f"{valid_reps} of {len(legs[lo])}. Fewer than "
             f"{min_valid_pairs} valid pairs would report INCONCLUSIVE, "
             "never PASS. The filter can only discard stall-inflated "
