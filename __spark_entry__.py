@@ -4073,6 +4073,179 @@ LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-weighted Gopher repetition rules (operators/repetition.py):
+    top-2/3-gram character coverage and duplicate-5-gram character
+    fraction, per document.  Spark computes them map-only (sorted-gram
+    run-length walk inside ONE aggregate HOF — no explode, no
+    shuffle); the oracle materializes the (doc, gram) counts the
+    textbook way, so the gate proves the state machine == the
+    aggregation.  Exact integer products divided once -> bit-stable."""
+    from tsclust_spark.operators.repetition import repetition_signals
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(docs, top_ns=(2, 3), dup_ns=(5,)).select(
+        "doc_id", "top2_char_frac", "top3_char_frac", "dup5_char_frac"
+    )
+
+
+_SQL_REPETITION_SIGNALS = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> len(x) > 0) AS words
+  FROM documents
+),
+base AS (
+  SELECT doc_id, words,
+         greatest(len(array_to_string(words, ' ')), 1) AS denom
+  FROM w
+),
+s2 AS (
+  SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS s
+  FROM base WHERE len(words) >= 2
+),
+c2 AS (
+  SELECT doc_id, array_to_string(words[s : s + 1], ' ') AS gram,
+         count(*) AS c
+  FROM s2 GROUP BY 1, 2
+),
+a2 AS (SELECT doc_id, max(c * len(gram)) AS best FROM c2 GROUP BY doc_id),
+s3 AS (
+  SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS s
+  FROM base WHERE len(words) >= 3
+),
+c3 AS (
+  SELECT doc_id, array_to_string(words[s : s + 2], ' ') AS gram,
+         count(*) AS c
+  FROM s3 GROUP BY 1, 2
+),
+a3 AS (SELECT doc_id, max(c * len(gram)) AS best FROM c3 GROUP BY doc_id),
+s5 AS (
+  SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS s
+  FROM base WHERE len(words) >= 5
+),
+c5 AS (
+  SELECT doc_id, array_to_string(words[s : s + 4], ' ') AS gram,
+         count(*) AS c
+  FROM s5 GROUP BY 1, 2
+),
+a5 AS (
+  SELECT doc_id, sum((c - 1) * len(gram)) AS dup
+  FROM c5 WHERE c > 1 GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(coalesce(a2.best, 0) AS DOUBLE) / b.denom AS top2_char_frac,
+       CAST(coalesce(a3.best, 0) AS DOUBLE) / b.denom AS top3_char_frac,
+       CAST(coalesce(a5.dup, 0) AS DOUBLE) / b.denom AS dup5_char_frac
+FROM base b
+LEFT JOIN a2 USING (doc_id)
+LEFT JOIN a3 USING (doc_id)
+LEFT JOIN a5 USING (doc_id)
+"""
+
+
+def _docs_with_seeded_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic PII strings appended to ~3/7 of docs
+    (by doc_id residue) so the redaction gate exercises real matches —
+    the synthetic corpus itself contains none (same seeding pattern as
+    :func:`_docs_with_seeded_dups`)."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    t = F.col("text")
+    seeded = (
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                t,
+                F.lit(" contact user"),
+                (d % 50).cast("string"),
+                F.lit("@example.com for details"),
+            ),
+        )
+        .when(
+            d % 7 == 3,
+            F.concat(
+                t,
+                F.lit(" from host 10."),
+                (d % 200).cast("string"),
+                F.lit(".0."),
+                (d % 250).cast("string"),
+            ),
+        )
+        .when(
+            d % 7 == 5,
+            F.concat(
+                t,
+                F.lit(" ssn 123-45-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+                F.lit(" on file"),
+            ),
+        )
+        .otherwise(t)
+    )
+    return docs.withColumn("text", seeded)
+
+
+_SQL_DOCS_SEEDED_PII = """
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 7 = 0 THEN text || ' contact user'
+             || CAST(doc_id % 50 AS VARCHAR)
+             || '@example.com for details'
+           WHEN doc_id % 7 = 3 THEN text || ' from host 10.'
+             || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+             || CAST(doc_id % 250 AS VARCHAR)
+           WHEN doc_id % 7 = 5 THEN text || ' ssn 123-45-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' on file'
+           ELSE text
+         END AS text
+  FROM documents
+"""
+
+
+def _q_redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/pii.py): per-class regex match counts +
+    deterministic chained redaction.  The regexes avoid lookarounds /
+    backreferences so Java regex (Spark) and RE2 (DuckDB) compile them
+    identically — the oracle gate IS the portability proof.  Inputs
+    are PII-seeded deterministically (the corpus has none)."""
+    from tsclust_spark.operators.pii import redact_pii
+
+    return redact_pii(_docs_with_seeded_pii(spark, sf_dir)).select(
+        "doc_id", "n_email", "n_ipv4", "n_id", "pii_total", "redacted_text"
+    )
+
+
+from tsclust_spark.operators.pii import (  # noqa: E402
+    EMAIL_RE as _PII_EMAIL_RE,
+    ID_RE as _PII_ID_RE,
+    IPV4_RE as _PII_IPV4_RE,
+)
+
+_SQL_REDACT_PII_DOCS = f"""
+WITH seeded AS ({_SQL_DOCS_SEEDED_PII}),
+counted AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '{_PII_EMAIL_RE}')) AS INT)
+           AS n_email,
+         CAST(len(regexp_extract_all(text, '{_PII_IPV4_RE}')) AS INT)
+           AS n_ipv4,
+         CAST(len(regexp_extract_all(text, '{_PII_ID_RE}')) AS INT)
+           AS n_id
+  FROM seeded
+)
+SELECT doc_id, n_email, n_ipv4, n_id,
+       n_email + n_ipv4 + n_id AS pii_total,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PII_IPV4_RE}', '<IP>', 'g'),
+         '{_PII_ID_RE}', '<ID>', 'g') AS redacted_text
+FROM counted
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -4087,6 +4260,8 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_docs": _q_mixture_sample_docs,
         "chunk_docs_32": _q_chunk_docs,
         "span_dedup_docs": _q_span_dedup_docs,
+        "repetition_signals": _q_repetition_signals,
+        "redact_pii_docs": _q_redact_pii_docs,
     }
 
 
@@ -4098,6 +4273,8 @@ def queued_oracle_sql() -> dict[str, str]:
         "mixture_sample_docs": _SQL_MIXTURE_SAMPLE_DOCS,
         "chunk_docs_32": _SQL_CHUNK_DOCS,
         "span_dedup_docs": _SQL_SPAN_DEDUP_DOCS,
+        "repetition_signals": _SQL_REPETITION_SIGNALS,
+        "redact_pii_docs": _SQL_REDACT_PII_DOCS,
     }
 
 

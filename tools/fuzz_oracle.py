@@ -84,7 +84,7 @@ DEFAULT_QUERIES = [
     # same hostile treatment before they ever reach the driver
     "ks_view_vs_purchase", "decompose_additive_events",
     "pack_docs_128", "mixture_sample_docs", "chunk_docs_32",
-    "span_dedup_docs",
+    "span_dedup_docs", "repetition_signals", "redact_pii_docs",
 ]
 
 
@@ -180,6 +180,15 @@ def _documents() -> pa.Table:
     add(dup, "en", "src0")                     # exact duplicates across
     add(dup, "es", "src1")                     # sources (dedup targets)
     add(dup, "en", "src2")
+    # PII-shaped strings (redact_pii targets): embedded email/IP/SSN,
+    # adjacent matches, a boundary-hugging IP, an @ that is NOT email
+    add("mail a.b-c%d@ex-ample.co.uk twice a.b-c%d@ex-ample.co.uk", "en",
+        "src0")
+    add("hosts 10.0.0.1 192.168.255.254and 1.2.3.4", "en", "src1")
+    add("ssn 123-45-6789, fake 12-345-678, id 000-00-0000", "en", "src2")
+    add("not@pii not @ all x@y.z 999.999.999.999", "en", "src3")
+    # heavy span repetition (repetition_signals target)
+    add(" ".join(["spark shuffle"] * 15), "en", "src0")
     cols = list(zip(*docs))
     return pa.table(
         {
