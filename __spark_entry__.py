@@ -4246,6 +4246,86 @@ FROM counted
 """
 
 
+def _q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive forecaster
+    (operators/backtest.py) on the hourly tier, period = 24 h.
+    Forecast matches BY TIMESTAMP (t - 24h must exist), so gaps yield
+    no score instead of silently shifting rows — the oracle twin joins
+    the tier on the same interval arithmetic."""
+    from tsclust_spark.operators.backtest import seasonal_naive_backtest
+
+    bt = seasonal_naive_backtest(
+        _load(spark, sf_dir, "events"), period_hours=24
+    )
+    return bt.select(
+        "key",
+        "n_scored",
+        _sround("mae", 6).alias("mae"),
+        _sround("rmse", 6).alias("rmse"),
+        _sround("smape", 6).alias("smape"),
+    )
+
+
+_SQL_SEASONAL_NAIVE_BACKTEST = f"""
+WITH tier AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
+         avg(value) AS actual
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT t.key, t.actual, f.actual AS forecast
+  FROM tier t
+  JOIN tier f
+    ON f.key = t.key AND f.bucket = t.bucket - INTERVAL 24 HOURS
+)
+SELECT key,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       {_sql_round('avg(abs(actual - forecast))', 6)} AS mae,
+       {_sql_round('sqrt(avg((actual - forecast) * (actual - forecast)))', 6)}
+         AS rmse,
+       {_sql_round(
+           "avg(CASE WHEN abs(actual) + abs(forecast) = 0 THEN 0.0 "
+           "ELSE 2.0 * abs(actual - forecast) / (abs(actual) + abs(forecast)) "
+           "END)", 6)} AS smape
+FROM scored GROUP BY key
+"""
+
+
+def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed one-pass covariance of the embedding table
+    (operators/embedstats.py): per-batch BLAS partials (one row per
+    Arrow batch), tiny exploded combine — the only Exchange carries
+    #partials x (d + d^2) doubles.  The oracle recomputes every
+    cov(i, j) the quadratic textbook way from the exploded components,
+    proving the moment form against the definition."""
+    from tsclust_spark.operators.embedstats import embedding_covariance
+
+    cov = embedding_covariance(_load(spark, sf_dir, "embeddings"))
+    return cov.select("i", "j", _sround("cov", 6).alias("cov"))
+
+
+_SQL_EMBEDDING_COVARIANCE = f"""
+WITH x AS (
+  SELECT vec_id,
+         CAST(u.component AS DOUBLE) AS v,
+         CAST(u.pos - 1 AS INT) AS i
+  FROM (
+    SELECT vec_id,
+           unnest(embedding) AS component,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+  ) u
+)
+SELECT a.i, b.i AS j,
+       {_sql_round(
+           '(sum(a.v * b.v) - sum(a.v) * sum(b.v) / count(*)) '
+           '/ (count(*) - 1)', 6)} AS cov
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -4262,6 +4342,8 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_docs": _q_span_dedup_docs,
         "repetition_signals": _q_repetition_signals,
         "redact_pii_docs": _q_redact_pii_docs,
+        "seasonal_naive_backtest": _q_seasonal_naive_backtest,
+        "embedding_covariance": _q_embedding_covariance,
     }
 
 
@@ -4275,6 +4357,8 @@ def queued_oracle_sql() -> dict[str, str]:
         "span_dedup_docs": _SQL_SPAN_DEDUP_DOCS,
         "repetition_signals": _SQL_REPETITION_SIGNALS,
         "redact_pii_docs": _SQL_REDACT_PII_DOCS,
+        "seasonal_naive_backtest": _SQL_SEASONAL_NAIVE_BACKTEST,
+        "embedding_covariance": _SQL_EMBEDDING_COVARIANCE,
     }
 
 
