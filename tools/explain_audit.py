@@ -379,6 +379,32 @@ NOTES = {
         "md5-prefix string compare — no corpus shuffle, no RNG state, "
         "deterministic on any partitioning."
     ),
+    "repetition_signals": (
+        "Char-weighted Gopher repetition rules computed MAP-ONLY: the "
+        "per-gram counting that would naively explode + groupBy every "
+        "n-gram occurrence (~5x corpus bytes shuffled at n=5) is an "
+        "array_sort + ONE aggregate HOF run-length walk per document — "
+        "zero Exchange, fully inside whole-stage codegen."
+    ),
+    "redact_pii_docs": (
+        "PII scrub: pure JVM regexp_count/regexp_replace projections "
+        "fused into the scan — zero Exchange, zero Python. The regexes "
+        "are RE2-compatible by contract so the DuckDB oracle compiles "
+        "the identical strings."
+    ),
+    "seasonal_naive_backtest": (
+        "Backtest joins the HOURLY TIER to itself, not raw points: "
+        "partial+final HashAggregate collapses points first, the "
+        "period-shift equi-join and the scoring aggregate run at tier "
+        "scale (keys x hours). Matching is by timestamp arithmetic, "
+        "so gaps drop out instead of row-shifting."
+    ),
+    "embedding_covariance": (
+        "One streaming pass: a single MapInPandas emits ONE "
+        "(n, sum, outer-product) row per Arrow batch; every Exchange "
+        "after it carries #partials x (d + d^2) doubles — metadata "
+        "scale. Nothing quadratic in N, vector data never shuffles."
+    ),
 }
 
 
