@@ -4326,6 +4326,51 @@ GROUP BY a.i, b.i
 """
 
 
+def _q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope per event_type over the daily tier
+    (operators/theilsen.py): median of all pairwise bucket slopes +
+    Sen intercept.  The oracle forms the identical pair set via a
+    tier self-join and takes the same medians — median over the same
+    multiset is order-invariant, so the gate is value-exact."""
+    from tsclust_spark.operators.theilsen import theil_sen
+
+    ts = theil_sen(_load(spark, sf_dir, "events"))
+    return ts.select(
+        "key",
+        "n_buckets",
+        _sround("ts_slope", 6).alias("ts_slope"),
+        _sround("ts_intercept", 6).alias("ts_intercept"),
+    )
+
+
+_SQL_THEIL_SEN_TREND = f"""
+WITH tier AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         date_trunc('day', ts) AS bucket, avg(value) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+tt AS (SELECT key, epoch(bucket) / 86400.0 AS t, v FROM tier),
+sl AS (
+  SELECT a.key, median((b.v - a.v) / (b.t - a.t)) AS ts_slope
+  FROM tt a JOIN tt b ON a.key = b.key AND a.t < b.t
+  GROUP BY a.key
+),
+ic AS (
+  SELECT tt.key, median(tt.v - sl.ts_slope * tt.t) AS ts_intercept
+  FROM tt JOIN sl USING (key) GROUP BY tt.key
+),
+cnt AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_buckets FROM tt GROUP BY key
+)
+SELECT c.key, c.n_buckets,
+       {_sql_round('sl.ts_slope', 6)} AS ts_slope,
+       {_sql_round('ic.ts_intercept', 6)} AS ts_intercept
+FROM cnt c
+JOIN sl USING (key)
+JOIN ic USING (key)
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -4344,6 +4389,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii_docs": _q_redact_pii_docs,
         "seasonal_naive_backtest": _q_seasonal_naive_backtest,
         "embedding_covariance": _q_embedding_covariance,
+        "theil_sen_trend": _q_theil_sen_trend,
     }
 
 
@@ -4359,6 +4405,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "redact_pii_docs": _SQL_REDACT_PII_DOCS,
         "seasonal_naive_backtest": _SQL_SEASONAL_NAIVE_BACKTEST,
         "embedding_covariance": _SQL_EMBEDDING_COVARIANCE,
+        "theil_sen_trend": _SQL_THEIL_SEN_TREND,
     }
 
 
