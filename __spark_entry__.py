@@ -4371,6 +4371,110 @@ JOIN ic USING (key)
 """
 
 
+def _q_changepoint_amoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMOC change-point per event_type over the daily tier
+    (operators/changepoint.py): the split maximizing the normalized
+    between-segment mean contrast.  Both engines run the identical
+    two-cumulative-sum scan (the total is read off the running sum at
+    i=m, so summation order matches) and pick the argmax over the
+    6-dp-rounded statistic with an earliest-bucket tiebreak."""
+    from tsclust_spark.operators.changepoint import changepoint_amoc
+
+    cp = changepoint_amoc(_load(spark, sf_dir, "events"))
+    return cp.select(
+        "key",
+        "n_buckets",
+        "cp_bucket",
+        _sround("mean_before", 6).alias("mean_before"),
+        _sround("mean_after", 6).alias("mean_after"),
+        _sround("cp_stat", 6).alias("cp_stat"),
+    )
+
+
+_SQL_CHANGEPOINT_AMOC = f"""
+WITH tier AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         date_trunc('day', ts) AS bucket, avg(value) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+scan AS (
+  SELECT key, bucket,
+         row_number() OVER w AS i,
+         sum(v) OVER w AS cum,
+         count(*) OVER (PARTITION BY key) AS m
+  FROM tier
+  WINDOW w AS (PARTITION BY key ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scan2 AS (
+  SELECT *,
+         max(CASE WHEN i = m THEN cum END) OVER (PARTITION BY key) AS tot
+  FROM scan
+),
+cand AS (
+  SELECT key, bucket, m,
+         cum / i AS mean_before,
+         (tot - cum) / (m - i) AS mean_after,
+         sqrt(i * (m - i) / m)
+           * abs(cum / i - (tot - cum) / (m - i)) AS cp_stat
+  FROM scan2 WHERE i < m
+),
+pick AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY key ORDER BY round(cp_stat, 6) DESC, bucket ASC
+  ) AS rn
+  FROM cand
+)
+SELECT key, CAST(m AS BIGINT) AS n_buckets, bucket AS cp_bucket,
+       {_sql_round('mean_before', 6)} AS mean_before,
+       {_sql_round('mean_after', 6)} AS mean_after,
+       {_sql_round('cp_stat', 6)} AS cp_stat
+FROM pick WHERE rn = 1
+"""
+
+
+def _q_plateau_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest quantized-constant run per event_type
+    (operators/runs.py): stuck-sensor QC via the gaps-and-islands
+    double-row_number rewrite; (run_len DESC, run_start, run_value)
+    total order makes the top-1 engine-invariant."""
+    from tsclust_spark.operators.runs import plateau_runs
+
+    return plateau_runs(_load(spark, sf_dir, "events"))
+
+
+_SQL_PLATEAU_RUNS = """
+WITH pts AS (
+  SELECT CAST(event_type AS VARCHAR) AS key, ts, event_id,
+         round(value, 0) AS run_value
+  FROM events WHERE value IS NOT NULL
+),
+isl AS (
+  SELECT key, run_value, ts,
+         row_number() OVER (PARTITION BY key ORDER BY ts, event_id)
+       - row_number() OVER (
+             PARTITION BY key, run_value ORDER BY ts, event_id
+         ) AS grp
+  FROM pts
+),
+runs AS (
+  SELECT key, run_value, grp,
+         CAST(count(*) AS BIGINT) AS run_len,
+         min(ts) AS run_start, max(ts) AS run_end
+  FROM isl GROUP BY 1, 2, 3
+),
+pick AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY key
+      ORDER BY run_len DESC, run_start ASC, run_value ASC
+  ) AS rn
+  FROM runs
+)
+SELECT key, run_value, run_len, run_start, run_end
+FROM pick WHERE rn = 1
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -4390,6 +4494,8 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_backtest": _q_seasonal_naive_backtest,
         "embedding_covariance": _q_embedding_covariance,
         "theil_sen_trend": _q_theil_sen_trend,
+        "changepoint_amoc": _q_changepoint_amoc,
+        "plateau_runs": _q_plateau_runs,
     }
 
 
@@ -4406,6 +4512,8 @@ def queued_oracle_sql() -> dict[str, str]:
         "seasonal_naive_backtest": _SQL_SEASONAL_NAIVE_BACKTEST,
         "embedding_covariance": _SQL_EMBEDDING_COVARIANCE,
         "theil_sen_trend": _SQL_THEIL_SEN_TREND,
+        "changepoint_amoc": _SQL_CHANGEPOINT_AMOC,
+        "plateau_runs": _SQL_PLATEAU_RUNS,
     }
 
 

@@ -1,0 +1,81 @@
+"""Unit tests: AMOC change-point localization."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from tsclust_spark.operators.changepoint import changepoint_amoc
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, ["event_type", "ts", "value"])
+
+
+@pytest.mark.spark
+def test_amoc_finds_clean_step(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + timedelta(days=d), 1.0 if d < 12 else 9.0)
+        for d in range(30)
+    ]
+    r = changepoint_amoc(_mk(spark, rows)).collect()[0]
+    assert r["n_buckets"] == 30
+    # cp_bucket = last bucket of the left segment = day 11
+    assert r["cp_bucket"] == t0 + timedelta(days=11)
+    assert r["mean_before"] == pytest.approx(1.0)
+    assert r["mean_after"] == pytest.approx(9.0)
+
+
+@pytest.mark.spark
+def test_amoc_matches_numpy_scan(spark):
+    rng = np.random.default_rng(7)
+    t0 = datetime(2024, 1, 1)
+    v = np.concatenate(
+        [rng.normal(0.0, 1.0, 17), rng.normal(2.5, 1.0, 23)]
+    )
+    rows = [
+        ("k", t0 + timedelta(days=i), float(v[i])) for i in range(40)
+    ]
+    r = changepoint_amoc(_mk(spark, rows)).collect()[0]
+
+    m = v.size
+    cum = np.cumsum(v)
+    tau = np.arange(1, m)
+    mean_l = cum[:-1] / tau
+    mean_r = (cum[-1] - cum[:-1]) / (m - tau)
+    stat = np.sqrt(tau * (m - tau) / m) * np.abs(mean_l - mean_r)
+    best = int(np.argmax(np.round(stat, 6)))
+    assert r["cp_bucket"] == t0 + timedelta(days=best)
+    assert r["cp_stat"] == pytest.approx(float(stat[best]), rel=1e-12)
+    assert r["mean_before"] == pytest.approx(float(mean_l[best]))
+    assert r["mean_after"] == pytest.approx(float(mean_r[best]))
+
+
+@pytest.mark.spark
+def test_amoc_single_bucket_key_omitted(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("multi", t0, 1.0),
+        ("multi", t0 + timedelta(days=1), 5.0),
+        ("solo", t0 + timedelta(hours=1), 2.0),
+        ("solo", t0 + timedelta(hours=6), 4.0),  # same day
+    ]
+    got = {r["key"]: r for r in changepoint_amoc(_mk(spark, rows)).collect()}
+    assert set(got) == {"multi"}
+    # only split: tau=1 -> stat = sqrt(1*1/2) * 4
+    assert got["multi"]["cp_stat"] == pytest.approx(
+        np.sqrt(0.5) * 4.0
+    )
+
+
+@pytest.mark.spark
+def test_amoc_tie_breaks_on_earliest_bucket(spark):
+    t0 = datetime(2024, 1, 1)
+    # symmetric series: stat(tau) == stat(m - tau); earliest must win
+    rows = [
+        ("s", t0 + timedelta(days=d), v)
+        for d, v in enumerate([0.0, 10.0, 10.0, 0.0])
+    ]
+    r = changepoint_amoc(_mk(spark, rows)).collect()[0]
+    assert r["cp_bucket"] == t0 + timedelta(days=0)

@@ -86,7 +86,7 @@ DEFAULT_QUERIES = [
     "pack_docs_128", "mixture_sample_docs", "chunk_docs_32",
     "span_dedup_docs", "repetition_signals", "redact_pii_docs",
     "seasonal_naive_backtest", "embedding_covariance",
-    "theil_sen_trend",
+    "theil_sen_trend", "changepoint_amoc", "plateau_runs",
 ]
 
 
