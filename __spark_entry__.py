@@ -4475,6 +4475,108 @@ FROM pick WHERE rn = 1
 """
 
 
+def _q_ar1_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) conditional-least-squares fit per event_type over the
+    daily tier (operators/ar1.py): phi/intercept/innovation variance
+    from the five pair moments; only consecutive-day pairs count.
+    Both engines evaluate the same left-associated moment algebra, so
+    the gate is exact at 6 dp."""
+    from tsclust_spark.operators.ar1 import ar1_fit
+
+    fit = ar1_fit(_load(spark, sf_dir, "events"))
+    return fit.select(
+        "key",
+        "n_pairs",
+        _sround("phi", 6).alias("phi"),
+        _sround("intercept", 6).alias("intercept"),
+        _sround("resid_var", 6).alias("resid_var"),
+    )
+
+
+_SQL_AR1_FIT = f"""
+WITH tier AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         date_trunc('day', ts) AS bucket, avg(value) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+pr AS (
+  SELECT key, v AS y, lag(v) OVER w AS x,
+         date_diff('day', lag(bucket) OVER w, bucket) AS dd
+  FROM tier WINDOW w AS (PARTITION BY key ORDER BY bucket)
+),
+pairs AS (SELECT key, x, y FROM pr WHERE x IS NOT NULL AND dd = 1),
+mom AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_pairs,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pairs GROUP BY key
+),
+f1 AS (
+  SELECT *,
+         (n_pairs * sxy - sx * sy) / (n_pairs * sxx - sx * sx) AS phi
+  FROM mom
+  WHERE n_pairs >= 2 AND n_pairs * sxx - sx * sx <> 0
+),
+f2 AS (SELECT *, (sy - phi * sx) / n_pairs AS intercept FROM f1),
+f3 AS (
+  SELECT *,
+         (syy + n_pairs * intercept * intercept + phi * phi * sxx
+          - 2 * intercept * sy - 2 * phi * sxy
+          + 2 * intercept * phi * sx) / n_pairs AS resid_var
+  FROM f2
+)
+SELECT key, n_pairs,
+       {_sql_round('phi', 6)} AS phi,
+       {_sql_round('intercept', 6)} AS intercept,
+       {_sql_round('resid_var', 6)} AS resid_var
+FROM f3
+"""
+
+
+def _q_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier completeness per event_type (operators/coverage.py):
+    expected-vs-present calendar days, coverage ratio, worst missing
+    run — computed from bucket deltas, never materializing missing
+    days (O(present), engine-invariant integer arithmetic)."""
+    from tsclust_spark.operators.coverage import coverage_report
+
+    cov = coverage_report(_load(spark, sf_dir, "events"))
+    return cov.select(
+        "key",
+        "n_days_expected",
+        "n_days_present",
+        _sround("coverage", 6).alias("coverage"),
+        "max_gap_days",
+        "n_gaps",
+    )
+
+
+_SQL_COVERAGE_REPORT = f"""
+WITH tier AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+g AS (
+  SELECT key, day,
+         date_diff('day',
+                   lag(day) OVER (PARTITION BY key ORDER BY day),
+                   day) - 1 AS gap_before
+  FROM tier
+)
+SELECT key,
+       CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT)
+         AS n_days_expected,
+       CAST(count(*) AS BIGINT) AS n_days_present,
+       {_sql_round("count(*) * 1.0 / (date_diff('day', min(day), max(day)) + 1)", 6)}
+         AS coverage,
+       CAST(coalesce(max(gap_before), 0) AS BIGINT) AS max_gap_days,
+       CAST(sum(CASE WHEN gap_before > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gaps
+FROM g GROUP BY key
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -4496,6 +4598,8 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_trend": _q_theil_sen_trend,
         "changepoint_amoc": _q_changepoint_amoc,
         "plateau_runs": _q_plateau_runs,
+        "ar1_fit": _q_ar1_fit,
+        "coverage_report": _q_coverage_report,
     }
 
 
@@ -4514,6 +4618,8 @@ def queued_oracle_sql() -> dict[str, str]:
         "theil_sen_trend": _SQL_THEIL_SEN_TREND,
         "changepoint_amoc": _SQL_CHANGEPOINT_AMOC,
         "plateau_runs": _SQL_PLATEAU_RUNS,
+        "ar1_fit": _SQL_AR1_FIT,
+        "coverage_report": _SQL_COVERAGE_REPORT,
     }
 
 

@@ -405,6 +405,36 @@ NOTES = {
         "after it carries #partials x (d + d^2) doubles — metadata "
         "scale. Nothing quadratic in N, vector data never shuffles."
     ),
+    "theil_sen_trend": (
+        "Partial+final HashAggregate collapses points to the daily "
+        "tier BEFORE the single FlatMapGroupsInPandas — the O(m^2) "
+        "pair formation sees only calendar-bounded tier rows (m = "
+        "#days), never data volume. One point-scale Exchange total."
+    ),
+    "changepoint_amoc": (
+        "Entirely Window + HashAggregate — zero Python nodes. The "
+        "O(m) AMOC scan is two running sums over the daily tier; the "
+        "only point-scale Exchange is the tier aggregate, everything "
+        "after runs on #days rows per key inside whole-stage codegen."
+    ),
+    "plateau_runs": (
+        "Gaps-and-islands via two row_number Windows sharing one "
+        "(key-)sort, then partial+final HashAggregate per island and "
+        "a top-1 Window. Pure codegen expressions; no Python, no "
+        "global sort — keys parallelize like any grouped window."
+    ),
+    "ar1_fit": (
+        "Tier aggregate -> one lag Window -> one five-moment "
+        "HashAggregate (partial+final). The regression algebra is "
+        "projected from the moments driver-free; consecutive-day "
+        "guard is a codegen datediff filter, not a join."
+    ),
+    "coverage_report": (
+        "Reports missing-day runs WITHOUT materializing them: lag "
+        "Window over present buckets only, so cost is O(present) "
+        "rows — a 2-point series spanning 10 years is 2 rows, vs the "
+        "3650 a sequence()+explode calendar join would shuffle."
+    ),
 }
 
 

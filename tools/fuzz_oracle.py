@@ -87,6 +87,7 @@ DEFAULT_QUERIES = [
     "span_dedup_docs", "repetition_signals", "redact_pii_docs",
     "seasonal_naive_backtest", "embedding_covariance",
     "theil_sen_trend", "changepoint_amoc", "plateau_runs",
+    "ar1_fit", "coverage_report",
 ]
 
 
