@@ -4577,6 +4577,208 @@ FROM g GROUP BY key
 """
 
 
+def _q_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy per event_type over the hourly tier
+    (operators/ordinal.py): ordinal-pattern (m=3) distribution entropy
+    normalized to [0,1]; pattern codes are pure integer comparisons,
+    entropy the only float — exact at 6 dp."""
+    from tsclust_spark.operators.ordinal import permutation_entropy
+
+    pe = permutation_entropy(_load(spark, sf_dir, "events"))
+    return pe.select(
+        "key",
+        "n_windows",
+        "n_patterns",
+        _sround("perm_entropy", 6).alias("perm_entropy"),
+    )
+
+
+_SQL_PERM_ENTROPY = f"""
+WITH tier AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         date_trunc('hour', ts) AS bucket, avg(value) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+tr AS (
+  SELECT key, v,
+         lag(v, 2) OVER w AS v1, lag(v, 1) OVER w AS v2,
+         date_diff('hour', lag(bucket, 1) OVER w, bucket) AS d2,
+         date_diff('hour', lag(bucket, 2) OVER w,
+                   lag(bucket, 1) OVER w) AS d1
+  FROM tier WINDOW w AS (PARTITION BY key ORDER BY bucket)
+),
+pat AS (
+  SELECT key,
+         CASE WHEN v1 <= v2 THEN 4 ELSE 0 END
+         + CASE WHEN v1 <= v THEN 2 ELSE 0 END
+         + CASE WHEN v2 <= v THEN 1 ELSE 0 END AS pattern
+  FROM tr WHERE v1 IS NOT NULL AND d1 = 1 AND d2 = 1
+),
+cnt AS (SELECT key, pattern, count(*) AS c FROM pat GROUP BY 1, 2),
+agg AS (
+  SELECT key, CAST(sum(c) AS BIGINT) AS n_windows,
+         CAST(count(*) AS BIGINT) AS n_patterns,
+         sum(c * ln(c)) AS clogc
+  FROM cnt GROUP BY key
+)
+SELECT key, n_windows, n_patterns,
+       {_sql_round('(ln(n_windows) - clogc / n_windows) / ln(6)', 6)}
+         AS perm_entropy
+FROM agg WHERE n_windows >= 4
+"""
+
+
+def _q_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goertzel-style periodogram ordinates at the diurnal (24 h) and
+    weekly (168 h) periods per event_type (operators/spectral.py):
+    variance fraction at each frequency from one fused hash aggregate
+    over the hourly tier."""
+    from tsclust_spark.operators.spectral import spectral_power
+
+    sp = spectral_power(
+        _load(spark, sf_dir, "events"), periods_hours=(24, 168)
+    )
+    return sp.select(
+        "key",
+        "period_hours",
+        "n_buckets",
+        _sround("power_frac", 6).alias("power_frac"),
+    )
+
+
+def _sql_spectral_terms(p: int) -> str:
+    ang = f"(2 * pi() / {p}) * (epoch(bucket) / 3600.0)"
+    return (
+        f"sum(v * cos({ang})) AS c_{p}, sum(v * sin({ang})) AS s_{p}, "
+        f"sum(cos({ang})) AS uc_{p}, sum(sin({ang})) AS us_{p}"
+    )
+
+
+def _sql_spectral_row(p: int) -> str:
+    c = f"(c_{p} - (sv / m) * uc_{p})"
+    s = f"(s_{p} - (sv / m) * us_{p})"
+    frac = f"2.0 * ({c} * {c} + {s} * {s}) / (m * (svv - sv * sv / m))"
+    return f"""
+SELECT key, CAST({p} AS INTEGER) AS period_hours,
+       CAST(m AS BIGINT) AS n_buckets,
+       {_sql_round(frac, 6)} AS power_frac
+FROM mom WHERE m >= 8 AND svv - sv * sv / m > 0"""
+
+
+_SQL_SPECTRAL_POWER = f"""
+WITH tier AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         date_trunc('hour', ts) AS bucket, avg(value) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+mom AS (
+  SELECT key, count(*) AS m, sum(v) AS sv, sum(v * v) AS svv,
+         {_sql_spectral_terms(24)},
+         {_sql_spectral_terms(168)}
+  FROM tier GROUP BY key
+)
+{_sql_spectral_row(24)}
+UNION ALL
+{_sql_spectral_row(168)}
+"""
+
+
+def _q_trimmed_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-rank 10%-trimmed daily tier per event_type
+    (operators/robust.py): robust bucket mean next to the plain mean;
+    floor(alpha*n) rows cut per end by integer rank, so the trimmed
+    mean is identical across engines and partitionings (ties are
+    equal values — survivor choice cannot move the mean)."""
+    from tsclust_spark.operators.robust import trimmed_tier
+
+    t = trimmed_tier(_load(spark, sf_dir, "events"))
+    return t.select(
+        "key",
+        "day",
+        "n",
+        "n_kept",
+        _sround("mean_all", 6).alias("mean_all"),
+        _sround("mean_trimmed", 6).alias("mean_trimmed"),
+    )
+
+
+_SQL_TRIMMED_TIER = f"""
+WITH r AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         date_trunc('day', ts) AS day, value,
+         row_number() OVER (
+           PARTITION BY CAST(event_type AS VARCHAR),
+                        date_trunc('day', ts)
+           ORDER BY value, event_id) AS rn,
+         count(*) OVER (
+           PARTITION BY CAST(event_type AS VARCHAR),
+                        date_trunc('day', ts)) AS nb
+  FROM events WHERE value IS NOT NULL
+),
+k AS (
+  SELECT *,
+         CASE WHEN rn > floor(0.1 * nb)
+               AND rn <= nb - floor(0.1 * nb)
+              THEN 1 ELSE 0 END AS keep
+  FROM r
+)
+SELECT key, day, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       {_sql_round('avg(value)', 6)} AS mean_all,
+       {_sql_round('avg(CASE WHEN keep = 1 THEN value END)', 6)}
+         AS mean_trimmed
+FROM k GROUP BY 1, 2
+"""
+
+
+def _q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day Pearson correlation between the view and
+    purchase daily tiers (operators/correlate.py::rolling_corr):
+    calendar-RANGE moment sums, regime-coupling over time."""
+    from tsclust_spark.operators.correlate import rolling_corr
+
+    rc = rolling_corr(_load(spark, sf_dir, "events"), "view", "purchase")
+    return rc.select(
+        "day", "n_days", _sround("roll_corr", 6).alias("roll_corr")
+    )
+
+
+_SQL_ROLLING_CORR = f"""
+WITH tier AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         date_trunc('day', ts) AS day, avg(value) AS v
+  FROM events
+  WHERE value IS NOT NULL
+    AND CAST(event_type AS VARCHAR) IN ('view', 'purchase')
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT day,
+         max(CASE WHEN key = 'view' THEN v END) AS va,
+         max(CASE WHEN key = 'purchase' THEN v END) AS vb
+  FROM tier GROUP BY day
+),
+q AS (SELECT * FROM p WHERE va IS NOT NULL AND vb IS NOT NULL),
+m AS (
+  SELECT day, count(*) OVER w AS n_days,
+         sum(va) OVER w AS sa, sum(vb) OVER w AS sb,
+         sum(va * vb) OVER w AS sab,
+         sum(va * va) OVER w AS saa,
+         sum(vb * vb) OVER w AS sbb
+  FROM q WINDOW w AS (
+    ORDER BY date_diff('day', TIMESTAMP '1970-01-01', day)
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, n_days,
+       {_sql_round('(n_days * sab - sa * sb)'
+                   ' / sqrt((n_days * saa - sa * sa)'
+                   ' * (n_days * sbb - sb * sb))', 6)} AS roll_corr
+FROM m
+WHERE n_days >= 4
+  AND n_days * saa - sa * sa > 0 AND n_days * sbb - sb * sb > 0
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -4600,6 +4802,10 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plateau_runs": _q_plateau_runs,
         "ar1_fit": _q_ar1_fit,
         "coverage_report": _q_coverage_report,
+        "perm_entropy_events": _q_perm_entropy,
+        "spectral_power_events": _q_spectral_power,
+        "trimmed_tier_1d": _q_trimmed_tier,
+        "rolling_corr_view_purchase": _q_rolling_corr,
     }
 
 
@@ -4620,6 +4826,10 @@ def queued_oracle_sql() -> dict[str, str]:
         "plateau_runs": _SQL_PLATEAU_RUNS,
         "ar1_fit": _SQL_AR1_FIT,
         "coverage_report": _SQL_COVERAGE_REPORT,
+        "perm_entropy_events": _SQL_PERM_ENTROPY,
+        "spectral_power_events": _SQL_SPECTRAL_POWER,
+        "trimmed_tier_1d": _SQL_TRIMMED_TIER,
+        "rolling_corr_view_purchase": _SQL_ROLLING_CORR,
     }
 
 

@@ -435,6 +435,34 @@ NOTES = {
         "rows — a 2-point series spanning 10 years is 2 rows, vs the "
         "3650 a sequence()+explode calendar join would shuffle."
     ),
+    "perm_entropy_events": (
+        "Tier aggregate -> two lag Windows sharing ONE (key-)sort -> "
+        "pattern CASE in codegen -> two nested HashAggregates. Zero "
+        "Python; the 3!-pattern alphabet keys the second aggregate so "
+        "its cardinality is 6x #keys — metadata scale."
+    ),
+    "spectral_power_events": (
+        "ALL candidate periods fuse into ONE HashAggregate over the "
+        "hourly tier (cos/sin terms are fused column expressions, "
+        "partial+final); per-period rows come from inline(array(...)) "
+        "over the one aggregate row — a union of selects would re-run "
+        "the aggregate per period. One point-scale Exchange total, no "
+        "FFT buffers, no per-key length sensitivity."
+    ),
+    "trimmed_tier_1d": (
+        "One row_number Window partitioned by (key, day) — window "
+        "state is a single bucket, bounded and spill-safe — then one "
+        "HashAggregate fusing plain and trimmed means via conditional "
+        "aggregation: no second scan, no branch join, zero Python."
+    ),
+    "rolling_corr_view_purchase": (
+        "Daily tier -> conditional-aggregation pivot (one Exchange "
+        "on day, no self-join) -> five moment sums over ONE shared "
+        "calendar-RANGE window -> corr projected in codegen. The "
+        "window is deliberately unpartitioned: input is one row per "
+        "DAY for a single pair (tier scale); many pairs would "
+        "partition the same window by pair id."
+    ),
 }
 
 

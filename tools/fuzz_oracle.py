@@ -88,6 +88,8 @@ DEFAULT_QUERIES = [
     "seasonal_naive_backtest", "embedding_covariance",
     "theil_sen_trend", "changepoint_amoc", "plateau_runs",
     "ar1_fit", "coverage_report",
+    "perm_entropy_events", "spectral_power_events",
+    "trimmed_tier_1d", "rolling_corr_view_purchase",
 ]
 
 

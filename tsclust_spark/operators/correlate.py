@@ -185,3 +185,83 @@ def series_spearman_pairs(
         .filter(F.col("n_overlap") >= min_overlap)
         .filter(F.col("rho").isNotNull() & ~F.isnan("rho"))
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    key_a: str,
+    key_b: str,
+    window_days: int = 7,
+    min_days: int = 4,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing ``window_days``-day Pearson correlation between TWO
+    named series over the daily tier: ``(day, n_days, roll_corr)``.
+
+    Where :func:`series_corr_pairs` reports one static number per
+    pair, this tracks WHEN two macro signals couple and decouple — a
+    regime-change lens (e.g. views and purchases correlating during a
+    sale and decoupling after).  Only days where BOTH series have data
+    enter; the trailing frame is calendar-RANGE (6 preceding days for
+    a 7-day window), so data gaps shrink ``n_days`` rather than
+    silently stretching the frame, and ``min_days`` drops frames too
+    thin to correlate.  Zero-variance frames (either side constant)
+    are dropped on both engines — corr is undefined there and engines
+    disagree on 0/0.
+
+    Engine shape: daily tier (one Exchange) -> per-day pivot of the
+    two keys via conditional aggregation (one Exchange on day, no
+    self-join, no re-aggregation) -> five moment sums over ONE shared
+    calendar-range window -> the textbook sums-of-products corr
+    projected driver-free.  The window is intentionally unpartitioned:
+    input is one row per calendar DAY for a single pair (tier scale,
+    ~365 rows/year), so single-task sequencing is correct and cheap;
+    for many pairs, partition the same window by the pair id.
+
+    Determinism: frame membership is integer calendar arithmetic; the
+    only float work is the moment sums, whose frame-order evaluation
+    differs across engines by ~1 ulp — far below the 6-dp gate.
+    """
+    tier = bucketize(
+        df.filter(
+            F.col(value_col).isNotNull()
+            & F.col(key_col).cast("string").isin([key_a, key_b])
+        ),
+        key_col=key_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        bucket="day",
+    )
+    key = F.col("key").cast("string")
+    pivot = (
+        tier.groupBy(F.col("bucket_ts").alias("day"))
+        .agg(
+            F.max(F.when(key == key_a, F.col("v"))).alias("va"),
+            F.max(F.when(key == key_b, F.col("v"))).alias("vb"),
+        )
+        .filter(F.col("va").isNotNull() & F.col("vb").isNotNull())
+    )
+    d_idx = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.orderBy(d_idx)
+        .rangeBetween(-(window_days - 1), Window.currentRow)
+    )
+    m = pivot.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n_days"),
+        F.sum("va").over(w).alias("sa"),
+        F.sum("vb").over(w).alias("sb"),
+        F.sum(F.col("va") * F.col("vb")).over(w).alias("sab"),
+        F.sum(F.col("va") * F.col("va")).over(w).alias("saa"),
+        F.sum(F.col("vb") * F.col("vb")).over(w).alias("sbb"),
+    )
+    n = F.col("n_days")
+    da = n * F.col("saa") - F.col("sa") * F.col("sa")
+    db = n * F.col("sbb") - F.col("sb") * F.col("sb")
+    r = (n * F.col("sab") - F.col("sa") * F.col("sb")) / F.sqrt(da * db)
+    return (
+        m.filter((n >= min_days) & (da > 0.0) & (db > 0.0))
+        .select("day", n.cast("long").alias("n_days"), r.alias("roll_corr"))
+    )
