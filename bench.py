@@ -617,8 +617,18 @@ def _pick_scaling_pair(probe: dict, bw: dict | None = None) -> tuple[int, int, d
     0.84 on CPU but only ~0.32 on bandwidth, which is why the
     bandwidth-bound rollup leg anti-scaled there while the
     compute-dense codec leg partially scaled — a Mops-only picker
-    grades the DRAM bus, not the job."""
-    pairs = [(1, 4), (2, 8), (4, 16)]
+    grades the DRAM bus, not the job.
+
+    (4, 16) is ALSO excluded (late round 4): SCALING_SEQ_SIZE is sized
+    so the LO leg's wall is ~40 s with lo in {1, 2} — at lo=4 the
+    rollup leg finishes in ~10 s, which is fixed-overhead scale (stage
+    scheduling, final count, shuffle setup), and the hi leg measures
+    almost pure overhead: an aborted 4v16 campaign read rollup
+    "efficiencies" of 0.19-0.25 on code that scales 0.79-1.06 at 1v4
+    — the instrument, not the job.  A valid 4v16 run needs a
+    4x-bigger input (SPARK_GRAFT_SEQ_SIZE_SCALING), not a different
+    pair formula."""
+    pairs = [(1, 4), (2, 8)]
     effs = {}
     for lo, hi in pairs:
         ce = probe[hi] / probe[lo] / (hi / lo) if lo in probe and hi in probe else 0.0
