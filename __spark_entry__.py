@@ -4779,6 +4779,308 @@ WHERE n_days >= 4
 """
 
 
+def _q_decomposition_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FPP3 trend/seasonal strength per user series
+    (operators/strength.py) on top of the period-7 additive
+    decomposition already gated by decompose_additive_events: one
+    moment aggregate turns per-point components into the two [0,1]
+    routing scores."""
+    from tsclust_spark.operators.strength import decomposition_strength
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter((F.col("user_id") <= 30) & F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = decomposition_strength(
+        ev, period=7, key_col="user_id", ts_col="ts",
+        value_col="value", tiebreak_col="event_id",
+    )
+    return out.select(
+        "key",
+        "n_points",
+        _sround("trend_strength", 6).alias("trend_strength"),
+        _sround("seasonal_strength", 6).alias("seasonal_strength"),
+    )
+
+
+_SQL_DECOMP_STRENGTH = f"""
+WITH pts AS (
+  SELECT user_id, event_id, ts, value FROM events
+  WHERE user_id <= 30 AND value IS NOT NULL
+),
+base AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER w - 1 AS pos,
+         CASE WHEN count(*) OVER wma = 7
+              THEN avg(value) OVER wma END AS trend
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         wma AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+prof AS (
+  SELECT user_id, pos % 7 AS slot, avg(value - trend) AS slot_mean
+  FROM base GROUP BY user_id, pos % 7
+),
+centered AS (
+  SELECT user_id, slot,
+         slot_mean - avg(slot_mean) OVER (PARTITION BY user_id)
+           AS seasonal
+  FROM prof
+),
+comp AS (
+  SELECT b.user_id AS key,
+         b.value - b.trend - c.seasonal AS resid,
+         b.trend + (b.value - b.trend - c.seasonal) AS tr,
+         c.seasonal + (b.value - b.trend - c.seasonal) AS sr
+  FROM base b
+  LEFT JOIN centered c ON b.user_id = c.user_id AND b.pos % 7 = c.slot
+),
+mom AS (
+  SELECT key, count(*) AS n_points,
+         sum(resid) AS sr1, sum(resid * resid) AS sr2,
+         sum(tr) AS st1, sum(tr * tr) AS st2,
+         sum(sr) AS ss1, sum(sr * sr) AS ss2
+  FROM comp WHERE resid IS NOT NULL GROUP BY key
+),
+v AS (
+  SELECT key, n_points,
+         (sr2 - sr1 * sr1 / n_points) / n_points AS var_r,
+         (st2 - st1 * st1 / n_points) / n_points AS var_t,
+         (ss2 - ss1 * ss1 / n_points) / n_points AS var_s
+  FROM mom
+)
+SELECT key, CAST(n_points AS BIGINT) AS n_points,
+       {_sql_round('greatest(0.0, 1.0 - var_r / var_t)', 6)}
+         AS trend_strength,
+       {_sql_round('greatest(0.0, 1.0 - var_r / var_s)', 6)}
+         AS seasonal_strength
+FROM v WHERE n_points >= 8 AND var_t > 0 AND var_s > 0
+"""
+
+
+def _q_monotone_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing and strictly-decreasing run per
+    event_type (operators/runs.py::monotone_runs): the ramp complement
+    of plateau_runs, same gaps-and-islands plan, exact integer island
+    logic."""
+    from tsclust_spark.operators.runs import monotone_runs
+
+    return monotone_runs(_load(spark, sf_dir, "events")).select(
+        "key", "direction", "run_len", "run_start", "run_end"
+    )
+
+
+_SQL_MONOTONE_RUNS = """
+WITH s0 AS (
+  SELECT CAST(event_type AS VARCHAR) AS key, ts, event_id, value,
+         lag(value) OVER w AS prev_v, lag(ts) OVER w AS prev_ts
+  FROM events WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY CAST(event_type AS VARCHAR)
+               ORDER BY ts, event_id)
+),
+st AS (
+  SELECT key, ts, event_id, prev_ts,
+         CASE WHEN value > prev_v THEN 1
+              WHEN value < prev_v THEN -1 ELSE 0 END AS sgn,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY ts, event_id) AS rk
+  FROM s0 WHERE prev_v IS NOT NULL
+),
+isl AS (
+  SELECT key, sgn, ts, prev_ts,
+         rk - row_number() OVER (PARTITION BY key, sgn
+                                 ORDER BY ts, event_id) AS grp
+  FROM st
+),
+runs AS (
+  SELECT key, sgn, grp,
+         CAST(count(*) + 1 AS BIGINT) AS run_len,
+         min(prev_ts) AS run_start, max(ts) AS run_end
+  FROM isl WHERE sgn <> 0 GROUP BY key, sgn, grp
+),
+pick AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY key, sgn
+    ORDER BY run_len DESC, run_start ASC) AS rn
+  FROM runs
+)
+SELECT key,
+       CASE WHEN sgn = 1 THEN 'up' ELSE 'down' END AS direction,
+       run_len, run_start, run_end
+FROM pick WHERE rn = 1
+"""
+
+
+def _q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap moments and Goh-Barabasi burstiness per
+    event_type (operators/arrival.py): one lag window + one moment
+    aggregate; microsecond-exact gap multiset under the (ts, event_id)
+    total order."""
+    from tsclust_spark.operators.arrival import interarrival_stats
+
+    st = interarrival_stats(_load(spark, sf_dir, "events"))
+    return st.select(
+        "key",
+        "n_gaps",
+        _sround("mean_gap_s", 6).alias("mean_gap_s"),
+        _sround("std_gap_s", 6).alias("std_gap_s"),
+        _sround("max_gap_s", 6).alias("max_gap_s"),
+        _sround("burstiness", 6).alias("burstiness"),
+    )
+
+
+_SQL_INTERARRIVAL_STATS = f"""
+WITH g AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY CAST(event_type AS VARCHAR)
+            ORDER BY ts, event_id)) / 1000000.0 AS gap_s
+  FROM events
+),
+m AS (
+  SELECT key, count(*) AS n_gaps, sum(gap_s) AS s1,
+         sum(gap_s * gap_s) AS s2, max(gap_s) AS max_gap_s
+  FROM g WHERE gap_s IS NOT NULL GROUP BY key
+),
+f AS (
+  SELECT key, n_gaps, max_gap_s, s1 / n_gaps AS mean_g,
+         sqrt(greatest(0.0, (s2 - s1 * s1 / n_gaps) / (n_gaps - 1)))
+           AS std_g
+  FROM m WHERE n_gaps >= 3 AND s1 > 0
+)
+SELECT key, CAST(n_gaps AS BIGINT) AS n_gaps,
+       {_sql_round('mean_g', 6)} AS mean_gap_s,
+       {_sql_round('std_g', 6)} AS std_gap_s,
+       {_sql_round('max_gap_s', 6)} AS max_gap_s,
+       {_sql_round('(std_g - mean_g) / (std_g + mean_g)', 6)}
+         AS burstiness
+FROM f
+"""
+
+
+def _q_value_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Shannon entropy of the value distribution per event_type
+    (operators/histogram.py::value_entropy): 32 fixed bins over
+    [0, 500), integer bin logic, entropy the only float — the
+    distribution-shape complement of perm_entropy_events."""
+    from tsclust_spark.operators.histogram import value_entropy
+
+    ve = value_entropy(_load(spark, sf_dir, "events"))
+    return ve.select(
+        "key",
+        "n_points",
+        "n_bins_occupied",
+        _sround("value_entropy", 6).alias("value_entropy"),
+    )
+
+
+_SQL_VALUE_ENTROPY = f"""
+WITH b AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         least(greatest(CAST(floor((value - 0.0) / 15.625) AS INTEGER),
+                        0), 31) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+c AS (SELECT key, bin, count(*) AS c FROM b GROUP BY 1, 2),
+a AS (
+  SELECT key, CAST(sum(c) AS BIGINT) AS n_points,
+         CAST(count(*) AS BIGINT) AS n_bins_occupied,
+         sum(c * ln(c)) AS clogc
+  FROM c GROUP BY key
+)
+SELECT key, n_points, n_bins_occupied,
+       {_sql_round('(ln(n_points) - clogc / n_points) / ln(32)', 6)}
+         AS value_entropy
+FROM a WHERE n_points >= 8
+"""
+
+
+def _q_ttr_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio and hapax share per source
+    (operators/vocab.py): lexical-richness screen over the repo-wide
+    whitespace tokenization; everything past the first aggregate is
+    vocabulary-scale."""
+    from tsclust_spark.operators.vocab import ttr_sources
+
+    t = ttr_sources(_load(spark, sf_dir, "documents"))
+    return t.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        _sround("ttr", 6).alias("ttr"),
+        _sround("hapax_share", 6).alias("hapax_share"),
+    )
+
+
+_SQL_TTR_SOURCES = rf"""
+WITH toks AS (
+  SELECT CAST(source AS VARCHAR) AS source,
+         unnest(list_filter(
+           string_split_regex(lower(trim(text)), '\s+'),
+           x -> len(x) > 0)) AS token
+  FROM documents
+),
+freq AS (
+  SELECT source, token, count(*) AS cnt FROM toks GROUP BY 1, 2
+)
+SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       {_sql_round('CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)', 6)}
+         AS ttr,
+       {_sql_round("CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+                   " / CAST(count(*) AS DOUBLE)", 6)} AS hapax_share
+FROM freq GROUP BY source
+"""
+
+
+def _q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard (operators/vocab.py):
+    mirrored-crawl detector; sorted per-token source lists expanded
+    map-side (never a vocab x vocab self-join), pair cardinality
+    bounded by the source enum."""
+    from tsclust_spark.operators.vocab import vocab_overlap_sources
+
+    v = vocab_overlap_sources(_load(spark, sf_dir, "documents"))
+    return v.select(
+        "source_a",
+        "source_b",
+        "n_types_a",
+        "n_types_b",
+        "n_shared",
+        _sround("jaccard", 6).alias("jaccard"),
+    )
+
+
+_SQL_VOCAB_OVERLAP = rf"""
+WITH toks AS (
+  SELECT CAST(source AS VARCHAR) AS source,
+         unnest(list_filter(
+           string_split_regex(lower(trim(text)), '\s+'),
+           x -> len(x) > 0)) AS token
+  FROM documents
+),
+v AS (SELECT DISTINCT source, token FROM toks),
+c AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+i AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS n_shared
+  FROM v a JOIN v b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b,
+       CAST(ca.n AS BIGINT) AS n_types_a,
+       CAST(cb.n AS BIGINT) AS n_types_b,
+       CAST(i.n_shared AS BIGINT) AS n_shared,
+       {_sql_round('CAST(i.n_shared AS DOUBLE)'
+                   ' / (ca.n + cb.n - i.n_shared)', 6)} AS jaccard
+FROM i
+JOIN c ca ON ca.source = i.source_a
+JOIN c cb ON cb.source = i.source_b
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -4806,6 +5108,12 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_power_events": _q_spectral_power,
         "trimmed_tier_1d": _q_trimmed_tier,
         "rolling_corr_view_purchase": _q_rolling_corr,
+        "decomposition_strength": _q_decomposition_strength,
+        "monotone_runs_events": _q_monotone_runs,
+        "interarrival_stats_events": _q_interarrival_stats,
+        "value_entropy_events": _q_value_entropy,
+        "ttr_sources": _q_ttr_sources,
+        "vocab_overlap_sources": _q_vocab_overlap,
     }
 
 
@@ -4830,6 +5138,12 @@ def queued_oracle_sql() -> dict[str, str]:
         "spectral_power_events": _SQL_SPECTRAL_POWER,
         "trimmed_tier_1d": _SQL_TRIMMED_TIER,
         "rolling_corr_view_purchase": _SQL_ROLLING_CORR,
+        "decomposition_strength": _SQL_DECOMP_STRENGTH,
+        "monotone_runs_events": _SQL_MONOTONE_RUNS,
+        "interarrival_stats_events": _SQL_INTERARRIVAL_STATS,
+        "value_entropy_events": _SQL_VALUE_ENTROPY,
+        "ttr_sources": _SQL_TTR_SOURCES,
+        "vocab_overlap_sources": _SQL_VOCAB_OVERLAP,
     }
 
 

@@ -463,6 +463,45 @@ NOTES = {
         "DAY for a single pair (tier scale); many pairs would "
         "partition the same window by pair id."
     ),
+    "decomposition_strength": (
+        "The decompose plan (window MA + slot profile + broadcast "
+        "join, zero Python) capped by ONE seven-sum HashAggregate; "
+        "variances and both strengths projected from moments in "
+        "codegen. Turning a per-point table into per-key features "
+        "costs one more point-scale aggregate, nothing else."
+    ),
+    "monotone_runs_events": (
+        "Same gaps-and-islands shape as plateau_runs: one lag + two "
+        "row_number Windows sharing the (key)-sort, island aggregate, "
+        "top-1 per (key, direction). Sign is exact integer logic so "
+        "island membership is engine-invariant; flats break strict "
+        "runs by occupying overall rank without joining any island."
+    ),
+    "interarrival_stats_events": (
+        "One lag Window over (ts, event_id) -> one moment "
+        "HashAggregate; mean/std/burstiness projected driver-free. "
+        "Gap multiset is microsecond-integer exact; only the moment "
+        "sums are float."
+    ),
+    "value_entropy_events": (
+        "Clamped integer bin expression in codegen -> (key, bin) "
+        "HashAggregate -> per-key entropy aggregate. Second "
+        "aggregate's cardinality is capped at n_bins x #keys — "
+        "metadata scale regardless of data volume."
+    ),
+    "ttr_sources": (
+        "Explode -> (source, token) partial+final HashAggregate -> "
+        "per-source aggregate. Everything past the first aggregate "
+        "is vocabulary-scale; hapax/type/token counts are exact "
+        "integers, the two ratios the only floats."
+    ),
+    "vocab_overlap_sources": (
+        "DISTINCT (source, token) -> per-token sorted source array "
+        "-> map-side i<j pair expansion (the series_corr_pairs "
+        "trick) -> pair-count aggregate + two broadcast size joins. "
+        "Never a vocab x vocab self-join; pair cardinality is "
+        "bounded by the source enum, not the corpus."
+    ),
 }
 
 

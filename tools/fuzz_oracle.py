@@ -90,6 +90,9 @@ DEFAULT_QUERIES = [
     "ar1_fit", "coverage_report",
     "perm_entropy_events", "spectral_power_events",
     "trimmed_tier_1d", "rolling_corr_view_purchase",
+    "decomposition_strength", "monotone_runs_events",
+    "interarrival_stats_events", "value_entropy_events",
+    "ttr_sources", "vocab_overlap_sources",
 ]
 
 
