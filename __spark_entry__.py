@@ -5081,6 +5081,92 @@ JOIN c cb ON cb.source = i.source_b
 """
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel within 7 days per step
+    (operators/funnel.py): first-touch anchoring (earliest eligible
+    event per step), per-user sorted step arrays folded left — one
+    Exchange on user, no event-table self-joins; the SQL twin's
+    min-aggregation chain is the same first-touch semantics."""
+    from tsclust_spark.operators.funnel import funnel_counts
+
+    fc = funnel_counts(
+        _load(spark, sf_dir, "events"),
+        steps=["view", "click", "purchase"],
+        max_days=7.0,
+    )
+    return fc.select(
+        "step_idx",
+        "step",
+        "n_users",
+        _sround("conversion", 6).alias("conversion"),
+    )
+
+
+_SQL_FUNNEL = f"""
+WITH ev AS (
+  SELECT user_id AS u, event_type AS etype, ts AS t FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+r0 AS (SELECT u, min(t) AS r FROM ev WHERE etype = 'view' GROUP BY u),
+r1 AS (
+  SELECT e.u, min(e.t) AS r
+  FROM ev e JOIN r0 ON e.u = r0.u
+  WHERE e.etype = 'click' AND e.t > r0.r
+    AND epoch_us(e.t) - epoch_us(r0.r) <= 604800000000
+  GROUP BY e.u
+),
+r2 AS (
+  SELECT e.u, min(e.t) AS r
+  FROM ev e JOIN r1 ON e.u = r1.u
+  WHERE e.etype = 'purchase' AND e.t > r1.r
+    AND epoch_us(e.t) - epoch_us(r1.r) <= 604800000000
+  GROUP BY e.u
+),
+c AS (
+  SELECT (SELECT count(*) FROM r0) AS n0,
+         (SELECT count(*) FROM r1) AS n1,
+         (SELECT count(*) FROM r2) AS n2
+)
+SELECT CAST(0 AS INTEGER) AS step_idx, 'view' AS step,
+       CAST(n0 AS BIGINT) AS n_users,
+       {_sql_round('1.0', 6)} AS conversion FROM c
+UNION ALL
+SELECT 1, 'click', CAST(n1 AS BIGINT),
+       {_sql_round('CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / n0 ELSE 0.0 END', 6)}
+FROM c
+UNION ALL
+SELECT 2, 'purchase', CAST(n2 AS BIGINT),
+       {_sql_round('CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 ELSE 0.0 END', 6)}
+FROM c
+"""
+
+
+def _q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day
+    (operators/funnel.py::rolling_active_users): exact sliding
+    COUNT DISTINCT via contribution expansion over the (user, day)
+    tier — user-day scale x 7, never event scale."""
+    from tsclust_spark.operators.funnel import rolling_active_users
+
+    return rolling_active_users(_load(spark, sf_dir, "events")).select(
+        "day", "active_users"
+    )
+
+
+_SQL_ROLLING_ACTIVE_USERS = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS aday
+  FROM events
+),
+contrib AS (
+  SELECT u, aday + INTERVAL (t.k) DAY AS day
+  FROM ud, range(7) t(k)
+)
+SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS active_users
+FROM contrib GROUP BY day
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -5114,6 +5200,8 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_entropy_events": _q_value_entropy,
         "ttr_sources": _q_ttr_sources,
         "vocab_overlap_sources": _q_vocab_overlap,
+        "funnel_view_click_purchase": _q_funnel,
+        "rolling_active_users_7d": _q_rolling_active_users,
     }
 
 
@@ -5144,6 +5232,8 @@ def queued_oracle_sql() -> dict[str, str]:
         "value_entropy_events": _SQL_VALUE_ENTROPY,
         "ttr_sources": _SQL_TTR_SOURCES,
         "vocab_overlap_sources": _SQL_VOCAB_OVERLAP,
+        "funnel_view_click_purchase": _SQL_FUNNEL,
+        "rolling_active_users_7d": _SQL_ROLLING_ACTIVE_USERS,
     }
 
 

@@ -502,6 +502,20 @@ NOTES = {
         "Never a vocab x vocab self-join; pair cardinality is "
         "bounded by the source enum, not the corpus."
     ),
+    "funnel_view_click_purchase": (
+        "ONE Exchange on user: per-user sorted per-step timestamp "
+        "arrays from a single grouped scan, then the step fold is "
+        "array-filter expressions in codegen — no event-table "
+        "self-joins (the naive funnel is k-1 joins = k-1 shuffles). "
+        "Per-user state is bounded by that user's funnel-type events."
+    ),
+    "rolling_active_users_7d": (
+        "Sliding COUNT DISTINCT exactly, without a distinct-over-"
+        "range window (neither engine has one): (user, day) DISTINCT "
+        "tier -> explode 7 contribution days -> per-day distinct "
+        "count. Expansion factor is the window length over USER-DAY "
+        "rows, never event rows."
+    ),
 }
 
 

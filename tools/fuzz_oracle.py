@@ -93,6 +93,7 @@ DEFAULT_QUERIES = [
     "decomposition_strength", "monotone_runs_events",
     "interarrival_stats_events", "value_entropy_events",
     "ttr_sources", "vocab_overlap_sources",
+    "funnel_view_click_purchase", "rolling_active_users_7d",
 ]
 
 
