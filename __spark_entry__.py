@@ -5167,6 +5167,47 @@ FROM contrib GROUP BY day
 """
 
 
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle
+    (operators/funnel.py::cohort_retention): first-activity week per
+    user, integer week-difference periods, exact distinct counts —
+    point-scale work ends at the first DISTINCT."""
+    from tsclust_spark.operators.funnel import cohort_retention
+
+    cr = cohort_retention(_load(spark, sf_dir, "events"))
+    return cr.select(
+        "cohort",
+        "period",
+        "n_active",
+        "cohort_size",
+        _sround("retention", 6).alias("retention"),
+    )
+
+
+_SQL_COHORT_RETENTION = f"""
+WITH ub AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS bucket
+  FROM events
+),
+f AS (SELECT u, min(bucket) AS cohort FROM ub GROUP BY u),
+per AS (
+  SELECT f.cohort,
+         CAST(date_diff('day', f.cohort, ub.bucket) / 7 AS BIGINT)
+           AS period,
+         count(DISTINCT ub.u) AS n_active
+  FROM ub JOIN f ON ub.u = f.u
+  GROUP BY 1, 2
+),
+sz AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
+SELECT p.cohort, p.period,
+       CAST(p.n_active AS BIGINT) AS n_active,
+       CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+       {_sql_round('CAST(p.n_active AS DOUBLE) / sz.cohort_size', 6)}
+         AS retention
+FROM per p JOIN sz ON p.cohort = sz.cohort
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -5202,6 +5243,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_overlap_sources": _q_vocab_overlap,
         "funnel_view_click_purchase": _q_funnel,
         "rolling_active_users_7d": _q_rolling_active_users,
+        "cohort_retention_weekly": _q_cohort_retention,
     }
 
 
@@ -5234,6 +5276,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "vocab_overlap_sources": _SQL_VOCAB_OVERLAP,
         "funnel_view_click_purchase": _SQL_FUNNEL,
         "rolling_active_users_7d": _SQL_ROLLING_ACTIVE_USERS,
+        "cohort_retention_weekly": _SQL_COHORT_RETENTION,
     }
 
 

@@ -116,3 +116,32 @@ def test_rolling_active_users_window(spark):
     assert 13 not in got or got[13] == 1
     assert 17 not in got  # nothing within [11, 17]... day10+6=16
     assert got[16] == 1
+
+
+@pytest.mark.spark
+def test_cohort_retention_triangle(spark):
+    from tsclust_spark.operators.funnel import cohort_retention
+
+    # week cohorts: Mondays 2024-01-01, 2024-01-08
+    rows = [
+        # u1 first week 0, returns weeks 1 and 2
+        (1, "view", _d(0)), (1, "view", _d(8)), (1, "view", _d(15)),
+        # u2 first week 0, never returns
+        (2, "view", _d(1)),
+        # u3 first week 1, returns week 2
+        (3, "view", _d(7)), (3, "view", _d(14)),
+    ]
+    out = {
+        ((r["cohort"] - T0).days // 7, r["period"]): r
+        for r in cohort_retention(_mk(spark, rows)).collect()
+    }
+    assert out[(0, 0)]["cohort_size"] == 2
+    assert out[(0, 0)]["n_active"] == 2
+    assert out[(0, 0)]["retention"] == 1.0
+    assert out[(0, 1)]["n_active"] == 1  # u1
+    assert out[(0, 1)]["retention"] == pytest.approx(0.5)
+    assert out[(0, 2)]["n_active"] == 1
+    assert out[(1, 0)]["cohort_size"] == 1  # u3
+    assert out[(1, 1)]["n_active"] == 1
+    # sparse: no (1, 2) cell
+    assert (1, 2) not in out

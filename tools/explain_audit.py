@@ -516,6 +516,13 @@ NOTES = {
         "count. Expansion factor is the window length over USER-DAY "
         "rows, never event rows."
     ),
+    "cohort_retention_weekly": (
+        "(user, week) DISTINCT -> per-user min (cohort map, one row "
+        "per user) -> join back on the tier's OWN hash partitioning "
+        "(no third point-scale shuffle) -> (cohort, period) distinct "
+        "count + broadcast size join. Period is integer day/7 "
+        "arithmetic — engine-exact; the final ratio is the only float."
+    ),
 }
 
 

@@ -1,6 +1,6 @@
-"""Ordered-funnel completion and rolling active users.
+"""Ordered funnels, rolling active users, cohort retention.
 
-The two product-analytics queries every event pipeline ships:
+The product-analytics queries every event pipeline ships:
 
 - :func:`funnel_counts` — how many users perform a given SEQUENCE of
   event types in order (view -> click -> purchase), each step within
@@ -167,4 +167,66 @@ def rolling_active_users(
         contrib.groupBy("day")
         .agg(F.count_distinct("user").alias("active_users"))
         .select("day", F.col("active_users").cast("long").alias("active_users"))
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    cohort_trunc: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classic cohort-retention triangle: ``(cohort, period, n_active,
+    cohort_size, retention)`` — of the users whose FIRST activity fell
+    in ``cohort`` (a ``cohort_trunc`` bucket), how many were active
+    again ``period`` buckets later.
+
+    ``period`` 0 is the cohort itself (retention 1.0 by construction);
+    (cohort, period) cells with no returning users emit no row (sparse
+    triangle — materializing zeros is gap-fill's job).  The
+    survival-over-calendar complement of the funnel: the funnel asks
+    "how deep users go", this asks "how long they keep coming back".
+
+    Engine shape: (user, bucket) DISTINCT tier -> per-user min-bucket
+    (one aggregate) -> join the one-row-per-user cohort map back onto
+    the tier on its own user key (co-partitioned: the tier is already
+    hashed by user from the DISTINCT, so the join adds no third
+    shuffle of point-scale data) -> one (cohort, period) distinct
+    count + a broadcast cohort-size join.  Period arithmetic is
+    integer calendar-day differences divided by the bucket length —
+    exact on both engines since truncated buckets differ by whole
+    units; the single float is the final ratio.  All point-scale work
+    ends at the first DISTINCT.
+    """
+    unit_days = {"week": 7, "day": 1}[cohort_trunc]
+    ub = (
+        df.select(
+            F.col(user_col).alias("user"),
+            F.date_trunc(cohort_trunc, F.col(ts_col)).alias("bucket"),
+        )
+        .distinct()
+    )
+    first = ub.groupBy("user").agg(F.min("bucket").alias("cohort"))
+    per = (
+        ub.join(first, "user")
+        .withColumn(
+            "period",
+            (F.datediff("bucket", "cohort") / F.lit(unit_days))
+            .cast("long"),
+        )
+        .groupBy("cohort", "period")
+        .agg(F.count_distinct("user").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        per.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "period",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+        )
     )
