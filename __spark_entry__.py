@@ -5208,6 +5208,53 @@ FROM per p JOIN sz ON p.cohort = sz.cohort
 """
 
 
+def _q_pq_exact_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization in its exactness limit (operators/pq.py):
+    with ksub >= n and zero Lloyd iterations every vector's subvectors
+    are their own distance-0 codes, so the ADC distance of the FULL
+    train->encode->search pipeline must equal exact squared L2 — which
+    the oracle computes independently via list_distance.  Codebook
+    broadcast, row-local argmin folds, codegen table lookups all sit
+    on this one hash gate; approximate configs (real ksub, Lloyd
+    refinement, recall) are value-gated in tests/test_pq.py against a
+    numpy twin."""
+    from tsclust_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+
+    emb = _load(spark, sf_dir, "embeddings")
+    books = pq_train(emb, dim=64, m=8, ksub=1_000_000, lloyd_iters=0)
+    codes = pq_encode(emb, books, dim=64, m=8)
+    out = pq_adc_topk(
+        books,
+        codes,
+        emb.filter(F.col("vec_id") < 5),
+        dim=64,
+        m=8,
+        k=1_000_000,
+    )
+    # rank is ordered on unrounded floats (engine-ambiguous under
+    # near-ties) — the gate hashes the distance VALUES instead
+    return out.select(
+        "query_id", "cand_id", _sround("adc_dist", 6).alias("adc_dist")
+    )
+
+
+_SQL_PQ_EXACT_ADC = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+d AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) AS dist
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, cand_id,
+       {_sql_round('dist * dist', 6)} AS adc_dist
+FROM d
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -5244,6 +5291,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_view_click_purchase": _q_funnel,
         "rolling_active_users_7d": _q_rolling_active_users,
         "cohort_retention_weekly": _q_cohort_retention,
+        "pq_exact_adc": _q_pq_exact_adc,
     }
 
 
@@ -5277,6 +5325,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "funnel_view_click_purchase": _SQL_FUNNEL,
         "rolling_active_users_7d": _SQL_ROLLING_ACTIVE_USERS,
         "cohort_retention_weekly": _SQL_COHORT_RETENTION,
+        "pq_exact_adc": _SQL_PQ_EXACT_ADC,
     }
 
 

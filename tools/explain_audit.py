@@ -523,6 +523,15 @@ NOTES = {
         "count + broadcast size join. Period is integer day/7 "
         "arithmetic — engine-exact; the final ratio is the only float."
     ),
+    "pq_exact_adc": (
+        "The full PQ pipeline: train (codebook broadcast + row-local "
+        "argmin fold per Lloyd step — zero scored-pair Exchange), "
+        "encode (same fold + one re-nest aggregate), ADC search "
+        "(per-query m x ksub distance table vs the broadcast "
+        "codebook, then m integer lookups+adds per candidate in "
+        "codegen). Candidates carry CODES, not vectors: 32x smaller "
+        "broadcast/shuffle footprint at d=64, m=8."
+    ),
 }
 
 

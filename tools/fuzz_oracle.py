@@ -94,7 +94,7 @@ DEFAULT_QUERIES = [
     "interarrival_stats_events", "value_entropy_events",
     "ttr_sources", "vocab_overlap_sources",
     "funnel_view_click_purchase", "rolling_active_users_7d",
-    "cohort_retention_weekly",
+    "cohort_retention_weekly", "pq_exact_adc",
 ]
 
 
