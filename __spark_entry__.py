@@ -5255,6 +5255,138 @@ FROM d
 """
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types
+    (operators/transitions.py): per-user lag bigrams under the
+    (ts, event_id) total order, exact counts, row-normalized
+    probabilities."""
+    from tsclust_spark.operators.transitions import event_transitions
+
+    t = event_transitions(_load(spark, sf_dir, "events"))
+    return t.select(
+        "from_type", "to_type", "n", _sround("prob", 6).alias("prob")
+    )
+
+
+_SQL_EVENT_TRANSITIONS = f"""
+WITH bi AS (
+  SELECT lag(CAST(event_type AS VARCHAR)) OVER w AS from_type,
+         CAST(event_type AS VARCHAR) AS to_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM bi WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       {_sql_round('CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)', 6)}
+         AS prob
+FROM c
+"""
+
+
+def _q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy per from-type
+    (operators/transitions.py::transition_entropy): the behavioral
+    twin of perm_entropy — same plug-in ln(n) - sum(c ln c)/n form
+    over the transition counts, normalized by the observed alphabet."""
+    from tsclust_spark.operators.transitions import transition_entropy
+
+    t = transition_entropy(_load(spark, sf_dir, "events"))
+    return t.select(
+        "from_type",
+        "n_out",
+        "n_next_types",
+        _sround("next_entropy", 6).alias("next_entropy"),
+    )
+
+
+_SQL_TRANSITION_ENTROPY = f"""
+WITH bi AS (
+  SELECT lag(CAST(event_type AS VARCHAR)) OVER w AS from_type,
+         CAST(event_type AS VARCHAR) AS to_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM bi WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+alpha AS (SELECT count(DISTINCT to_type) AS a FROM c),
+agg AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out,
+         CAST(count(*) AS BIGINT) AS n_next_types,
+         sum(n * ln(n)) AS clogc
+  FROM c GROUP BY from_type
+)
+SELECT from_type, n_out, n_next_types,
+       {_sql_round('(ln(n_out) - clogc / n_out) / ln(CAST(a AS DOUBLE))', 6)}
+         AS next_entropy
+FROM agg, alpha WHERE a > 1
+"""
+
+
+def _q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end conversion latency of view->click->purchase
+    completers (operators/funnel.py::funnel_latency): first-touch
+    anchor deltas in exact microseconds; p50 is the rank-exact lower
+    median, so every statistic is engine-gateable."""
+    from tsclust_spark.operators.funnel import funnel_latency
+
+    fl = funnel_latency(
+        _load(spark, sf_dir, "events"),
+        steps=["view", "click", "purchase"],
+        max_days=7.0,
+    )
+    return fl.select(
+        "n_converted",
+        _sround("mean_s", 6).alias("mean_s"),
+        _sround("p50_s", 6).alias("p50_s"),
+        _sround("min_s", 6).alias("min_s"),
+        _sround("max_s", 6).alias("max_s"),
+    )
+
+
+_SQL_FUNNEL_LATENCY = f"""
+WITH ev AS (
+  SELECT user_id AS u, event_type AS etype, ts AS t FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+r0 AS (SELECT u, min(t) AS r FROM ev WHERE etype = 'view' GROUP BY u),
+r1 AS (
+  SELECT e.u, min(e.t) AS r
+  FROM ev e JOIN r0 ON e.u = r0.u
+  WHERE e.etype = 'click' AND e.t > r0.r
+    AND epoch_us(e.t) - epoch_us(r0.r) <= 604800000000
+  GROUP BY e.u
+),
+r2 AS (
+  SELECT e.u, min(e.t) AS r
+  FROM ev e JOIN r1 ON e.u = r1.u
+  WHERE e.etype = 'purchase' AND e.t > r1.r
+    AND epoch_us(e.t) - epoch_us(r1.r) <= 604800000000
+  GROUP BY e.u
+),
+lat AS (
+  SELECT (epoch_us(r2.r) - epoch_us(r0.r)) / 1000000.0 AS lat_s
+  FROM r2 JOIN r0 ON r2.u = r0.u
+),
+rk AS (
+  SELECT lat_s, row_number() OVER (ORDER BY lat_s) AS rn,
+         count(*) OVER () AS nn
+  FROM lat
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       {_sql_round('avg(lat_s)', 6)} AS mean_s,
+       {_sql_round('min(CASE WHEN rn = CAST(ceil(nn / 2.0) AS BIGINT) THEN lat_s END)', 6)}
+         AS p50_s,
+       {_sql_round('min(lat_s)', 6)} AS min_s,
+       {_sql_round('max(lat_s)', 6)} AS max_s
+FROM rk
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -5292,6 +5424,9 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users_7d": _q_rolling_active_users,
         "cohort_retention_weekly": _q_cohort_retention,
         "pq_exact_adc": _q_pq_exact_adc,
+        "event_transitions": _q_event_transitions,
+        "transition_entropy": _q_transition_entropy,
+        "funnel_latency": _q_funnel_latency,
     }
 
 
@@ -5326,6 +5461,9 @@ def queued_oracle_sql() -> dict[str, str]:
         "rolling_active_users_7d": _SQL_ROLLING_ACTIVE_USERS,
         "cohort_retention_weekly": _SQL_COHORT_RETENTION,
         "pq_exact_adc": _SQL_PQ_EXACT_ADC,
+        "event_transitions": _SQL_EVENT_TRANSITIONS,
+        "transition_entropy": _SQL_TRANSITION_ENTROPY,
+        "funnel_latency": _SQL_FUNNEL_LATENCY,
     }
 
 

@@ -523,6 +523,23 @@ NOTES = {
         "count + broadcast size join. Period is integer day/7 "
         "arithmetic — engine-exact; the final ratio is the only float."
     ),
+    "event_transitions": (
+        "One lag Window on the user partition -> (from, to) "
+        "HashAggregate whose cardinality is <= |event types|^2 "
+        "(metadata scale) -> row-normalizing window over that tiny "
+        "table. Zero Python; the probability is the only float."
+    ),
+    "transition_entropy": (
+        "The transitions plan capped by a per-from-type entropy "
+        "aggregate and a 1-row alphabet broadcast — everything past "
+        "the bigram aggregate runs on alphabet-squared rows."
+    ),
+    "funnel_latency": (
+        "The funnel anchor fold (one Exchange on user), completers "
+        "filtered, exact microsecond deltas; the lower-median rank "
+        "window sorts COMPLETERS only — deliberate exactness/scale "
+        "trade documented in the operator."
+    ),
     "pq_exact_adc": (
         "The full PQ pipeline: train (codebook broadcast + row-local "
         "argmin fold per Lloyd step — zero scored-pair Exchange), "

@@ -42,27 +42,21 @@ array filtering — per-user state only, one Exchange on user.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def funnel_counts(
+def _funnel_anchors(
     df: DataFrame,
     steps: list[str],
-    max_days: float | None = 7.0,
-    user_col: str = "user_id",
-    ts_col: str = "ts",
-    type_col: str = "event_type",
+    max_days: float | None,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
 ) -> DataFrame:
-    """``(step_idx, step, n_users, conversion)`` — users reaching each
-    funnel step in order; ``conversion`` is n_users / step-1 users.
-
-    A user "reaches" step k if, anchoring each step at its EARLIEST
-    eligible event (first touch), events e_1 < e_2 < ... < e_k exist
-    with the given types, each within ``max_days`` of the anchored
-    predecessor.  With ``max_days=None`` this equals plain ordered
-    existence.
-    """
+    """Per-user first-touch anchor timestamps ``_r0.._r{k-1}`` (NULL
+    once the funnel breaks) — the shared core of funnel_counts and
+    funnel_latency.  One Exchange on user."""
     secs = None if max_days is None else float(max_days) * 86400.0
     ev = df.filter(F.col(type_col).isin(list(steps))).select(
         F.col(user_col).alias("user"),
@@ -103,7 +97,29 @@ def funnel_counts(
         cols.append(F.get(cand, 0).alias(f"_r{i}"))
     for i, c in enumerate(cols):
         per_user = per_user.withColumn(f"_r{i}", c)
+    return per_user
 
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    max_days: float | None = 7.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """``(step_idx, step, n_users, conversion)`` — users reaching each
+    funnel step in order; ``conversion`` is n_users / step-1 users.
+
+    A user "reaches" step k if, anchoring each step at its EARLIEST
+    eligible event (first touch), events e_1 < e_2 < ... < e_k exist
+    with the given types, each within ``max_days`` of the anchored
+    predecessor.  With ``max_days=None`` this equals plain ordered
+    existence.
+    """
+    per_user = _funnel_anchors(
+        df, steps, max_days, user_col, ts_col, type_col
+    )
     counts = per_user.agg(
         *[
             F.count(F.col(f"_r{i}")).alias(f"_n{i}")
@@ -229,4 +245,64 @@ def cohort_retention(
             F.col("cohort_size").cast("long").alias("cohort_size"),
             (F.col("n_active") / F.col("cohort_size")).alias("retention"),
         )
+    )
+
+
+def funnel_latency(
+    df: DataFrame,
+    steps: list[str],
+    max_days: float | None = 7.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """End-to-end conversion latency of the users who complete the
+    funnel: one row ``(n_converted, mean_s, p50_s, min_s, max_s)``
+    over first-touch anchor times (seconds from the step-0 anchor to
+    the final step's anchor).
+
+    ``p50_s`` is the LOWER median (the rank-ceil(n/2) element by
+    exact integer rank) — no interpolation, so the statistic is
+    engine- and partitioning-exact; all four time stats are integer
+    microseconds under the hood, the mean the only division.
+
+    Engine shape: the funnel fold's per-user anchors (one Exchange on
+    user, see :func:`funnel_counts`), filtered to completers, then
+    one global aggregate.  The exact median's rank window is
+    deliberately unpartitioned — it sorts COMPLETERS only (typically
+    a small fraction of users), and exactness is what makes the
+    statistic engine-gateable; at extreme completer counts swap
+    ``p50_s`` for ``approx_percentile`` and drop the gate, or bucket
+    latencies to a histogram first.
+    """
+    anchors = _funnel_anchors(
+        df, steps, max_days, user_col, ts_col, type_col
+    )
+    last = f"_r{len(steps) - 1}"
+    lat = (
+        anchors.filter(F.col(last).isNotNull())
+        .select(
+            (
+                (
+                    F.unix_micros(F.col(last))
+                    - F.unix_micros(F.col("_r0"))
+                )
+                / F.lit(1e6)
+            ).alias("lat_s")
+        )
+    )
+    w = Window.orderBy("lat_s")
+    ranked = lat.withColumn("rn", F.row_number().over(w)).withColumn(
+        "nn", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    return ranked.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.avg("lat_s").alias("mean_s"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.col("nn") / 2), F.col("lat_s")
+            )
+        ).alias("p50_s"),
+        F.min("lat_s").alias("min_s"),
+        F.max("lat_s").alias("max_s"),
     )

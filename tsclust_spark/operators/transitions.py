@@ -1,0 +1,100 @@
+"""First-order Markov transition matrix over event types.
+
+Which event follows which: per user, consecutive events (ordered by
+(ts, tiebreak)) form (from_type, to_type) bigrams; globally
+aggregated they estimate the behavior chain P(next | current) — the
+standard session-model summary (what follows a view? does error
+follow signup more than chance?), and the base object for sequence
+entropy, next-event prediction baselines, and anomaly flags on
+"impossible" transitions.
+
+Engine shape: one ``lag`` window over the user partition (the same
+single Exchange every sessionize/as-of op pays), one (from, to) hash
+aggregate (cardinality <= |event types|^2 — metadata scale), one
+row-count window per from-type for the probabilities.  Zero Python;
+counts are exact integers, the probability the only float.
+
+Determinism: the ``tiebreak_col`` totalizes the order under duplicate
+timestamps (ADVICE-r3 rule), so the bigram MULTISET is exact on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """``(from_type, to_type, n, prob)`` for every observed bigram;
+    ``prob = n / sum(n over from_type)`` (rows of the transition
+    matrix sum to 1; unobserved transitions emit no row)."""
+    w = Window.partitionBy("user").orderBy(ts_col, tiebreak_col)
+    bi = (
+        df.select(
+            F.col(user_col).alias("user"),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+            F.col(type_col).cast("string").alias("to_type"),
+        )
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = bi.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") / F.sum("n").over(wf)).alias("prob"),
+    )
+
+
+def transition_entropy(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-from-type conditional entropy of the next event,
+    ``(from_type, n_out, n_next_types, next_entropy)`` — the entropy
+    rate decomposition of :func:`event_transitions` (normalized by the
+    ln of the observed alphabet size, [0, 1]).
+
+    ~0: the next event is predictable (a rigid flow); ~1: what
+    follows this event type is anyone's guess.  The behavioral twin
+    of permutation entropy on values.
+    """
+    t = event_transitions(df, user_col, ts_col, type_col, tiebreak_col)
+    # alphabet = distinct to_types observed anywhere (one tiny agg,
+    # broadcast into the projection via a windowless cross join)
+    alpha = t.agg(
+        F.count_distinct("to_type").alias("_alpha")
+    )
+    agg = t.groupBy("from_type").agg(
+        F.sum("n").alias("n_out"),
+        F.count(F.lit(1)).alias("n_next_types"),
+        F.sum(F.col("n") * F.log("n")).alias("_clogc"),
+    )
+    h = F.log(F.col("n_out")) - F.col("_clogc") / F.col("n_out")
+    return (
+        agg.join(F.broadcast(alpha))
+        .filter(F.col("_alpha") > 1)
+        .select(
+            "from_type",
+            F.col("n_out").cast("long").alias("n_out"),
+            F.col("n_next_types").cast("long").alias("n_next_types"),
+            (h / F.log(F.col("_alpha").cast("double"))).alias(
+                "next_entropy"
+            ),
+        )
+    )
