@@ -5387,6 +5387,41 @@ FROM rk
 """
 
 
+def _q_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent 3-step event paths
+    (operators/transitions.py::common_paths): sliding per-user
+    3-grams, path counts, total-order rank — the deterministic cut
+    an orderBy().limit() cannot give."""
+    from tsclust_spark.operators.transitions import common_paths
+
+    return common_paths(_load(spark, sf_dir, "events")).select(
+        "path", "n_occurrences", "rank"
+    )
+
+
+_SQL_COMMON_PATHS = """
+WITH base AS (
+  SELECT CAST(event_type AS VARCHAR) AS t0,
+         lag(CAST(event_type AS VARCHAR), 1) OVER w AS t1,
+         lag(CAST(event_type AS VARCHAR), 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+p AS (
+  SELECT concat_ws('>', t2, t1, t0) AS path,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM base WHERE t2 IS NOT NULL GROUP BY 1
+),
+r AS (
+  SELECT path, n_occurrences,
+         CAST(row_number() OVER (
+           ORDER BY n_occurrences DESC, path ASC) AS INTEGER) AS rank
+  FROM p
+)
+SELECT path, n_occurrences, rank FROM r WHERE rank <= 10
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -5427,6 +5462,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "transition_entropy": _q_transition_entropy,
         "funnel_latency": _q_funnel_latency,
+        "common_paths_3": _q_common_paths,
     }
 
 
@@ -5464,6 +5500,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "event_transitions": _SQL_EVENT_TRANSITIONS,
         "transition_entropy": _SQL_TRANSITION_ENTROPY,
         "funnel_latency": _SQL_FUNNEL_LATENCY,
+        "common_paths_3": _SQL_COMMON_PATHS,
     }
 
 

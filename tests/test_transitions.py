@@ -144,3 +144,23 @@ def test_funnel_latency_even_lower_median_and_empty(spark):
     ).collect()[0]
     assert r0["n_converted"] == 0
     assert r0["mean_s"] is None
+
+
+@pytest.mark.spark
+def test_common_paths_sliding_and_rank(spark):
+    from tsclust_spark.operators.transitions import common_paths
+
+    rows = (
+        _seq(1, ["a", "b", "c", "a", "b", "c"])  # a>b>c x2, b>c>a, c>a>b
+        + _seq(2, ["a", "b", "c"], 100)          # a>b>c
+        + _seq(3, ["x", "y"], 200)               # too short: no 3-gram
+    )
+    out = {
+        r["path"]: r for r in common_paths(_mk(spark, rows)).collect()
+    }
+    assert out["a>b>c"]["n_occurrences"] == 3
+    assert out["a>b>c"]["rank"] == 1
+    assert out["b>c>a"]["n_occurrences"] == 1
+    # ties at count 1 rank by path asc: b>c>a before c>a>b
+    assert out["b>c>a"]["rank"] < out["c>a>b"]["rank"]
+    assert "x>y" not in out and len(out) == 3

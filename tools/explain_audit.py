@@ -529,6 +529,12 @@ NOTES = {
         "(metadata scale) -> row-normalizing window over that tiny "
         "table. Zero Python; the probability is the only float."
     ),
+    "common_paths_3": (
+        "n-1 lag columns over ONE shared user-partition sort, concat "
+        "projection, path-count HashAggregate (<= |types|^n rows), "
+        "total-order rank window for a deterministic top-k cut "
+        "(orderBy+limit would tie-break arbitrarily at the boundary)."
+    ),
     "transition_entropy": (
         "The transitions plan capped by a per-from-type entropy "
         "aggregate and a 1-row alphabet broadcast — everything past "

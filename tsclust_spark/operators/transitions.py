@@ -98,3 +98,60 @@ def transition_entropy(
             ),
         )
     )
+
+
+def common_paths(
+    df: DataFrame,
+    n: int = 3,
+    top_k: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Top-k most frequent n-step event-type paths across users:
+    ``(path, n_occurrences, rank)`` with ``path`` like
+    ``"view>click>purchase"``.
+
+    The n-gram generalization of :func:`event_transitions` — the
+    mined "what do users actually do" report.  Paths slide (every
+    consecutive n-event window within a user counts, overlapping),
+    and never cross users.
+
+    Engine shape: n-1 ``lag`` columns over ONE shared user-partition
+    window sort, a concat projection, one path-count aggregate
+    (cardinality <= |types|^n — still metadata scale for small n),
+    and a rank window for the top-k.  The rank is a total order
+    (count desc, path asc), so the cut is deterministic across
+    engines and partitionings — an ``orderBy().limit()`` would tie-
+    break arbitrarily at the boundary.
+    """
+    w = Window.partitionBy("user").orderBy(ts_col, tiebreak_col)
+    base = df.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        F.col(type_col).cast("string").alias("t0"),
+    )
+    for i in range(1, n):
+        base = base.withColumn(f"t{i}", F.lag("t0", i).over(w))
+    # t{n-1} .. t0 is oldest-to-newest
+    parts = [F.col(f"t{i}") for i in range(n - 1, -1, -1)]
+    paths = (
+        base.filter(F.col(f"t{n - 1}").isNotNull())
+        .select(F.concat_ws(">", *parts).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    rk = Window.orderBy(
+        F.col("n_occurrences").desc(), F.col("path").asc()
+    )
+    return (
+        paths.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "path",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
