@@ -5422,6 +5422,92 @@ SELECT path, n_occurrences, rank FROM r WHERE rank <= 10
 """
 
 
+def _q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 binary segmentation (up to 3 mean-change points per
+    key, operators/changepoint.py::changepoint_binseg): the AMOC scan
+    recursed over quantize-deterministic child segments; the oracle
+    steps the identical two levels."""
+    from tsclust_spark.operators.changepoint import changepoint_binseg
+
+    cp = changepoint_binseg(_load(spark, sf_dir, "events"), depth=2)
+    return cp.select(
+        "key",
+        "segment",
+        "n_buckets",
+        "cp_bucket",
+        _sround("mean_before", 6).alias("mean_before"),
+        _sround("mean_after", 6).alias("mean_after"),
+        _sround("cp_stat", 6).alias("cp_stat"),
+    )
+
+
+def _sql_binseg_level(src: str, best: str) -> str:
+    """One AMOC level over segmented tier ``src`` -> best-split CTE
+    ``best`` (same scan as _SQL_CHANGEPOINT_AMOC with seg carried)."""
+    return f"""
+scan_{best} AS (
+  SELECT key, seg, bucket,
+         row_number() OVER w AS i,
+         sum(v) OVER w AS cum,
+         count(*) OVER (PARTITION BY key, seg) AS m
+  FROM {src}
+  WINDOW w AS (PARTITION BY key, seg ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scan2_{best} AS (
+  SELECT *, max(CASE WHEN i = m THEN cum END)
+              OVER (PARTITION BY key, seg) AS tot
+  FROM scan_{best}
+),
+cand_{best} AS (
+  SELECT key, seg, bucket, m,
+         cum / i AS mean_before,
+         (tot - cum) / (m - i) AS mean_after,
+         sqrt(i * (m - i) / m)
+           * abs(cum / i - (tot - cum) / (m - i)) AS cp_stat
+  FROM scan2_{best} WHERE i >= 4 AND m - i >= 4
+),
+{best} AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY key, seg
+        ORDER BY round(cp_stat, 6) DESC, bucket ASC) AS rn
+    FROM cand_{best}
+  ) WHERE rn = 1
+)"""
+
+
+_SQL_CHANGEPOINT_BINSEG = f"""
+WITH tier0 AS (
+  SELECT CAST(event_type AS VARCHAR) AS key, '' AS seg,
+         date_trunc('day', ts) AS bucket, avg(value) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+),
+{_sql_binseg_level('tier0', 'best0')[1:]},
+tier1 AS (
+  SELECT t.key,
+         t.seg || CASE WHEN t.bucket <= b.bucket
+                       THEN 'L' ELSE 'R' END AS seg,
+         t.bucket, t.v
+  FROM tier0 t JOIN best0 b ON t.key = b.key AND t.seg = b.seg
+),
+{_sql_binseg_level('tier1', 'best1')[1:]},
+u AS (
+  SELECT key, seg, m, bucket, mean_before, mean_after, cp_stat
+  FROM best0
+  UNION ALL
+  SELECT key, seg, m, bucket, mean_before, mean_after, cp_stat
+  FROM best1
+)
+SELECT key, seg AS segment, CAST(m AS BIGINT) AS n_buckets,
+       bucket AS cp_bucket,
+       {_sql_round('mean_before', 6)} AS mean_before,
+       {_sql_round('mean_after', 6)} AS mean_after,
+       {_sql_round('cp_stat', 6)} AS cp_stat
+FROM u
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -5463,6 +5549,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_entropy": _q_transition_entropy,
         "funnel_latency": _q_funnel_latency,
         "common_paths_3": _q_common_paths,
+        "changepoint_binseg": _q_changepoint_binseg,
     }
 
 
@@ -5501,6 +5588,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "transition_entropy": _SQL_TRANSITION_ENTROPY,
         "funnel_latency": _SQL_FUNNEL_LATENCY,
         "common_paths_3": _SQL_COMMON_PATHS,
+        "changepoint_binseg": _SQL_CHANGEPOINT_BINSEG,
     }
 
 

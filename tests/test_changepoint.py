@@ -79,3 +79,48 @@ def test_amoc_tie_breaks_on_earliest_bucket(spark):
     ]
     r = changepoint_amoc(_mk(spark, rows)).collect()[0]
     assert r["cp_bucket"] == t0 + timedelta(days=0)
+
+
+@pytest.mark.spark
+def test_binseg_recovers_two_level_shifts(spark):
+    from tsclust_spark.operators.changepoint import changepoint_binseg
+
+    t0 = datetime(2024, 1, 1)
+    # 3 mean regimes over 30 days: 0 (d0-9), 10 (d10-19), 30 (d20-29).
+    # Root split lands at the bigger jump (d19->20); level 1 finds
+    # the 9->10 boundary inside the left child.
+    vals = [0.0] * 10 + [10.0] * 10 + [30.0] * 10
+    rows = [
+        ("a", t0 + timedelta(days=d), v + 0.01 * d)
+        for d, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = {
+        r["segment"]: r
+        for r in changepoint_binseg(df, depth=2).collect()
+    }
+    assert out[""]["cp_bucket"] == datetime(2024, 1, 20)  # after d19
+    assert out["L"]["cp_bucket"] == datetime(2024, 1, 10)  # after d9
+    # right child (d20-29, constant regime): weak split still reported
+    # with a small stat relative to the real boundaries
+    if "R" in out:
+        assert out["R"]["cp_stat"] < out[""]["cp_stat"] / 10
+    assert out[""]["mean_after"] > out[""]["mean_before"]
+
+
+@pytest.mark.spark
+def test_binseg_min_seg_blocks_short_segments(spark):
+    from tsclust_spark.operators.changepoint import changepoint_binseg
+
+    t0 = datetime(2024, 1, 1)
+    # 9 days: root split needs both sides >= 4 -> allowed (4/5);
+    # children of size 4/5 cannot split again (4 < 2*4)
+    vals = [0.0] * 4 + [10.0] * 5
+    rows = [
+        ("a", t0 + timedelta(days=d), v) for d, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = changepoint_binseg(df, depth=2).collect()
+    assert len(out) == 1
+    assert out[0]["segment"] == ""
+    assert out[0]["cp_bucket"] == datetime(2024, 1, 4)

@@ -529,6 +529,14 @@ NOTES = {
         "(metadata scale) -> row-normalizing window over that tiny "
         "table. Zero Python; the probability is the only float."
     ),
+    "changepoint_binseg": (
+        "The AMOC scan recursed: each level is one windowed "
+        "cumulative-sum pass over the (key, seg)-relabeled tier plus "
+        "a BROADCAST join of the accepted parent splits (one row per "
+        "segment). Depth is a plan-construction constant — O(depth) "
+        "tier-scale stages, zero Python; the quantized argmax makes "
+        "every child segment label engine-exact."
+    ),
     "common_paths_3": (
         "n-1 lag columns over ONE shared user-partition sort, concat "
         "projection, path-count HashAggregate (<= |types|^n rows), "

@@ -106,3 +106,135 @@ def changepoint_amoc(
             "cp_stat",
         )
     )
+
+
+def _amoc_best_per_segment(
+    tier: DataFrame, rank_decimals: int, min_seg: int
+) -> DataFrame:
+    """Best split per (key, seg) over a segmented tier — the AMOC scan
+    of :func:`changepoint_amoc` with the segment label carried through
+    the windows. Splits leaving either side shorter than ``min_seg``
+    buckets are not candidates."""
+    w = Window.partitionBy("key", "seg").orderBy("bucket")
+    wall = Window.partitionBy("key", "seg")
+    scan = tier.select(
+        "key",
+        "seg",
+        "bucket",
+        F.row_number().over(w).alias("i"),
+        F.sum("v").over(w).alias("cum"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    ).withColumn(
+        "tot",
+        F.max(F.when(F.col("i") == F.col("m"), F.col("cum"))).over(wall),
+    )
+    cand = (
+        scan.filter(
+            (F.col("i") >= min_seg)
+            & (F.col("m") - F.col("i") >= min_seg)
+        )
+        .withColumn("mean_before", F.col("cum") / F.col("i"))
+        .withColumn(
+            "mean_after",
+            (F.col("tot") - F.col("cum")) / (F.col("m") - F.col("i")),
+        )
+        .withColumn(
+            "cp_stat",
+            F.sqrt(F.col("i") * (F.col("m") - F.col("i")) / F.col("m"))
+            * F.abs(F.col("mean_before") - F.col("mean_after")),
+        )
+    )
+    pick = Window.partitionBy("key", "seg").orderBy(
+        F.round(F.col("cp_stat"), rank_decimals).desc(),
+        F.col("bucket").asc(),
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "key",
+            "seg",
+            F.col("m").alias("n_buckets"),
+            F.col("bucket").alias("cp_bucket"),
+            "mean_before",
+            "mean_after",
+            "cp_stat",
+        )
+    )
+
+
+def changepoint_binseg(
+    df: DataFrame,
+    depth: int = 2,
+    min_seg: int = 4,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    rank_decimals: int = 6,
+) -> DataFrame:
+    """Binary segmentation (Scott & Knott 1974; the standard greedy
+    multi-change-point extension of AMOC): split each key's daily
+    tier at its best AMOC point, then recursively split each child
+    segment, ``depth`` levels deep — up to 2^depth - 1 change points
+    per key.
+
+    Output: ``(key, segment, n_buckets, cp_bucket, mean_before,
+    mean_after, cp_stat)`` — one row per ACCEPTED split, ``segment``
+    the path label of the segment being split ('' = whole series,
+    then 'L'/'R', 'LL'.., by bucket <= the parent split).  A split is
+    accepted only if both children keep >= ``min_seg`` buckets; no
+    significance threshold is applied (report the statistic, let the
+    caller cut — the changepoint_amoc discipline).
+
+    Engine shape: the level loop is PLAN construction, not execution
+    — each level adds one windowed scan over the (key, seg)-relabeled
+    tier and one broadcast-scale join of the parent splits (one row
+    per accepted parent segment).  Each level's windows shuffle tier
+    rows, never raw points; depth is a small constant, so the whole
+    operator is O(depth) tier-scale stages, zero Python.
+
+    Determinism: the argmax quantizes before ranking (ties to the
+    earliest bucket), so the SPLIT — and therefore every child
+    segment label downstream — is engine- and partitioning-exact.
+    """
+    tier = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).cast("string").alias("key"),
+            F.date_trunc("day", F.col(ts_col)).alias("bucket"),
+        )
+        .agg(F.avg(value_col).alias("v"))
+        .withColumn("seg", F.lit(""))
+    )
+    levels = []
+    for _ in range(depth):
+        best = _amoc_best_per_segment(tier, rank_decimals, min_seg)
+        levels.append(best)
+        tier = (
+            tier.join(
+                F.broadcast(best.select("key", "seg", "cp_bucket")),
+                ["key", "seg"],
+            )
+            .withColumn(
+                "seg",
+                F.concat(
+                    F.col("seg"),
+                    F.when(
+                        F.col("bucket") <= F.col("cp_bucket"), F.lit("L")
+                    ).otherwise(F.lit("R")),
+                ),
+            )
+            .drop("cp_bucket")
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "key",
+        F.col("seg").alias("segment"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        "cp_bucket",
+        "mean_before",
+        "mean_after",
+        "cp_stat",
+    )
