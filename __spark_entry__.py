@@ -5508,6 +5508,76 @@ FROM u
 """
 
 
+def _q_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise-linear trend over the binseg segmentation
+    (operators/changepoint.py::piecewise_trend): OLS slope/intercept
+    per final regime from one five-moment aggregate; the oracle steps
+    the identical two relabel levels and the same moment algebra."""
+    from tsclust_spark.operators.changepoint import piecewise_trend
+
+    pt = piecewise_trend(_load(spark, sf_dir, "events"), depth=2)
+    return pt.select(
+        "key",
+        "segment",
+        "seg_start",
+        "seg_end",
+        "n_buckets",
+        _sround("slope_per_day", 6).alias("slope_per_day"),
+        _sround("intercept", 6).alias("intercept"),
+        _sround("mean_v", 6).alias("mean_v"),
+    )
+
+
+def _sql_binseg_relabel(src: str, best: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT t.key,
+         CASE WHEN b.bucket IS NULL THEN t.seg
+              WHEN t.bucket <= b.bucket THEN t.seg || 'L'
+              ELSE t.seg || 'R' END AS seg,
+         t.bucket, t.v
+  FROM {src} t LEFT JOIN {best} b
+    ON t.key = b.key AND t.seg = b.seg
+)"""
+
+
+_SQL_PIECEWISE_TREND = f"""
+WITH tier0 AS (
+  SELECT CAST(event_type AS VARCHAR) AS key, '' AS seg,
+         date_trunc('day', ts) AS bucket, avg(value) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+),
+{_sql_binseg_level('tier0', 'pbest0')[1:]},
+{_sql_binseg_relabel('tier0', 'pbest0', 'pt1')[1:]},
+{_sql_binseg_level('pt1', 'pbest1')[1:]},
+{_sql_binseg_relabel('pt1', 'pbest1', 'pt2')[1:]},
+xv AS (
+  SELECT key, seg, bucket, v,
+         CAST(date_diff('day', TIMESTAMP '1970-01-01', bucket)
+              AS DOUBLE) AS x
+  FROM pt2
+),
+m AS (
+  SELECT key, seg, count(*) AS n,
+         min(bucket) AS seg_start, max(bucket) AS seg_end,
+         min(x) AS x0, sum(x) AS sx, sum(v) AS sv,
+         sum(x * v) AS sxv, sum(x * x) AS sxx
+  FROM xv GROUP BY 1, 2
+),
+f AS (
+  SELECT *,
+         (n * sxv - sx * sv) / (n * sxx - sx * sx) AS slope
+  FROM m WHERE n >= 2 AND n * sxx - sx * sx <> 0
+)
+SELECT key, seg AS segment, seg_start, seg_end,
+       CAST(n AS BIGINT) AS n_buckets,
+       {_sql_round('slope', 6)} AS slope_per_day,
+       {_sql_round('sv / n + slope * (x0 - sx / n)', 6)} AS intercept,
+       {_sql_round('sv / n', 6)} AS mean_v
+FROM f
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -5550,6 +5620,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": _q_funnel_latency,
         "common_paths_3": _q_common_paths,
         "changepoint_binseg": _q_changepoint_binseg,
+        "piecewise_trend": _q_piecewise_trend,
     }
 
 
@@ -5589,6 +5660,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "funnel_latency": _SQL_FUNNEL_LATENCY,
         "common_paths_3": _SQL_COMMON_PATHS,
         "changepoint_binseg": _SQL_CHANGEPOINT_BINSEG,
+        "piecewise_trend": _SQL_PIECEWISE_TREND,
     }
 
 

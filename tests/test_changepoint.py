@@ -124,3 +124,44 @@ def test_binseg_min_seg_blocks_short_segments(spark):
     assert len(out) == 1
     assert out[0]["segment"] == ""
     assert out[0]["cp_bucket"] == datetime(2024, 1, 4)
+
+
+@pytest.mark.spark
+def test_piecewise_trend_recovers_segment_lines(spark):
+    from tsclust_spark.operators.changepoint import piecewise_trend
+
+    t0 = datetime(2024, 1, 1)
+    # regime 1 (d0-11): slope +2 from 0; regime 2 (d12-23): flat 100
+    rows = [
+        ("a", t0 + timedelta(days=d), 2.0 * d) for d in range(12)
+    ] + [
+        ("a", t0 + timedelta(days=d), 100.0) for d in range(12, 24)
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = {
+        r["segment"]: r for r in piecewise_trend(df, depth=1).collect()
+    }
+    assert set(out) == {"L", "R"}
+    assert out["L"]["slope_per_day"] == pytest.approx(2.0, abs=1e-9)
+    assert out["L"]["intercept"] == pytest.approx(0.0, abs=1e-9)
+    assert out["R"]["slope_per_day"] == pytest.approx(0.0, abs=1e-9)
+    assert out["R"]["mean_v"] == pytest.approx(100.0)
+    assert out["L"]["seg_end"] < out["R"]["seg_start"]
+
+
+@pytest.mark.spark
+def test_piecewise_trend_unsplit_key_is_one_segment(spark):
+    from tsclust_spark.operators.changepoint import piecewise_trend
+
+    t0 = datetime(2024, 1, 1)
+    # 6 days: min_seg=4 forbids any split (needs >= 8) -> one ''
+    # segment with the global OLS line
+    rows = [
+        ("a", t0 + timedelta(days=d), 5.0 + 3.0 * d) for d in range(6)
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = piecewise_trend(df, depth=2).collect()
+    assert len(out) == 1
+    assert out[0]["segment"] == ""
+    assert out[0]["slope_per_day"] == pytest.approx(3.0, abs=1e-9)
+    assert out[0]["intercept"] == pytest.approx(5.0, abs=1e-9)

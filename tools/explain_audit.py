@@ -537,6 +537,13 @@ NOTES = {
         "tier-scale stages, zero Python; the quantized argmax makes "
         "every child segment label engine-exact."
     ),
+    "piecewise_trend": (
+        "The binseg relabeling stages (broadcast parent splits, LEFT "
+        "join so unsplit segments just stop subdividing) capped by "
+        "ONE five-moment HashAggregate per final segment; OLS "
+        "projected from moments in codegen. Change detection and "
+        "regime characterization share the same tier scan."
+    ),
     "common_paths_3": (
         "n-1 lag columns over ONE shared user-partition sort, concat "
         "projection, path-count HashAggregate (<= |types|^n rows), "

@@ -96,7 +96,7 @@ DEFAULT_QUERIES = [
     "funnel_view_click_purchase", "rolling_active_users_7d",
     "cohort_retention_weekly", "pq_exact_adc",
     "event_transitions", "transition_entropy", "funnel_latency",
-    "common_paths_3", "changepoint_binseg",
+    "common_paths_3", "changepoint_binseg", "piecewise_trend",
 ]
 
 

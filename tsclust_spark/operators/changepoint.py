@@ -238,3 +238,106 @@ def changepoint_binseg(
         "mean_after",
         "cp_stat",
     )
+
+
+def piecewise_trend(
+    df: DataFrame,
+    depth: int = 2,
+    min_seg: int = 4,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    rank_decimals: int = 6,
+) -> DataFrame:
+    """Segmented (piecewise-linear) trend: OLS slope/intercept per
+    FINAL segment of the binary segmentation — ``(key, segment,
+    seg_start, seg_end, n_buckets, slope_per_day, intercept,
+    mean_v)``.
+
+    The composition a change-point user actually wants: binseg says
+    WHERE the regimes break, this says what each regime IS (its level
+    and drift).  ``slope_per_day`` regresses the daily-tier value on
+    the bucket's day index; ``intercept`` is the fitted value at the
+    segment's first day (not at epoch — epoch intercepts are
+    numerically meaningless 50 years out); keys/segments where the
+    slope is unidentified (single day) are omitted.
+
+    Engine shape: the binseg labeling (O(depth) tier-scale stages)
+    plus ONE five-moment hash aggregate per final segment and the
+    sums-of-products slope algebra (the ar1.py discipline) —
+    projected driver-free, zero Python.
+    """
+    tier = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).cast("string").alias("key"),
+            F.date_trunc("day", F.col(ts_col)).alias("bucket"),
+        )
+        .agg(F.avg(value_col).alias("v"))
+        .withColumn("seg", F.lit(""))
+    )
+    # relabel depth times using the same accepted splits as
+    # changepoint_binseg (LEFT join: segments without an accepted
+    # split keep their label and simply stop subdividing)
+    for _ in range(depth):
+        best = _amoc_best_per_segment(tier, rank_decimals, min_seg)
+        tier = (
+            tier.join(
+                F.broadcast(
+                    best.select(
+                        "key", "seg", F.col("cp_bucket").alias("_cp")
+                    )
+                ),
+                ["key", "seg"],
+                "left",
+            )
+            .withColumn(
+                "seg",
+                F.when(F.col("_cp").isNull(), F.col("seg")).otherwise(
+                    F.concat(
+                        F.col("seg"),
+                        F.when(
+                            F.col("bucket") <= F.col("_cp"), F.lit("L")
+                        ).otherwise(F.lit("R")),
+                    )
+                ),
+            )
+            .drop("_cp")
+        )
+    d_idx = F.datediff(
+        F.col("bucket"), F.lit("1970-01-01").cast("date")
+    ).cast("double")
+    mom = (
+        tier.withColumn("x", d_idx)
+        .groupBy("key", "seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("bucket").alias("seg_start"),
+            F.max("bucket").alias("seg_end"),
+            F.min("x").alias("x0"),
+            F.sum("x").alias("sx"),
+            F.sum("v").alias("sv"),
+            F.sum(F.col("x") * F.col("v")).alias("sxv"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    n = F.col("n")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxv") - F.col("sx") * F.col("sv")) / den
+    # value at the segment's first day: mean_v + slope*(x0 - mean_x)
+    intercept = F.col("sv") / n + slope * (
+        F.col("x0") - F.col("sx") / n
+    )
+    return (
+        mom.filter((n >= 2) & (den != 0.0))
+        .select(
+            "key",
+            F.col("seg").alias("segment"),
+            "seg_start",
+            "seg_end",
+            n.cast("long").alias("n_buckets"),
+            slope.alias("slope_per_day"),
+            intercept.alias("intercept"),
+            (F.col("sv") / n).alias("mean_v"),
+        )
+    )
