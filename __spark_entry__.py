@@ -5578,6 +5578,83 @@ FROM f
 """
 
 
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries for the exact top-20 tokens
+    (operators/cms.py): the oracle rebuilds the IDENTICAL (4 x 64)
+    sketch from the same md5 bucket recipe, so estimates compare
+    cell-exact — not just error-bounded.  Mergeability (element-wise
+    addition across shards) is pytest-gated."""
+    from pyspark.sql import Window
+
+    from tsclust_spark.operators.cms import cms_build, cms_estimate
+    from tsclust_spark.operators.textstats import _words
+
+    docs = _load(spark, sf_dir, "documents")
+    sketch = cms_build(docs, d=4, w=64)
+    toks = docs.select(
+        F.explode(
+            F.filter(_words(F.col("text")), lambda t: F.length(t) > 0)
+        ).alias("token")
+    )
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    wtop = Window.orderBy(F.col("exact_n").desc(), F.col("token").asc())
+    top = (
+        exact.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    est = cms_estimate(sketch, top, d=4, w=64)
+    return top.join(est, "token").select(
+        "token", "exact_n", "cms_count"
+    )
+
+
+_SQL_CMS_HEAVY_HITTERS = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           string_split_regex(lower(trim(text)), '\s+'),
+           x -> len(x) > 0)) AS token
+  FROM documents
+),
+exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+  FROM toks GROUP BY 1
+),
+top AS (
+  SELECT token, exact_n FROM (
+    SELECT token, exact_n,
+           row_number() OVER (ORDER BY exact_n DESC, token ASC) AS rn
+    FROM exact
+  ) WHERE rn <= 20
+),
+cells AS (
+  SELECT r.row_idx,
+         CAST(CAST(('0x' || substring(
+             md5(CAST(r.row_idx AS VARCHAR) || '|' || t.token), 1, 8))
+           AS BIGINT) % 64 AS INTEGER) AS bucket
+  FROM toks t, range(4) AS r(row_idx)
+),
+sk AS (
+  SELECT row_idx, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM cells GROUP BY 1, 2
+),
+probes AS (
+  SELECT top.token, top.exact_n, r.row_idx,
+         CAST(CAST(('0x' || substring(
+             md5(CAST(r.row_idx AS VARCHAR) || '|' || top.token), 1, 8))
+           AS BIGINT) % 64 AS INTEGER) AS bucket
+  FROM top, range(4) AS r(row_idx)
+)
+SELECT p.token, p.exact_n,
+       CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS cms_count
+FROM probes p
+LEFT JOIN sk ON sk.row_idx = p.row_idx AND sk.bucket = p.bucket
+GROUP BY 1, 2
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -5621,6 +5698,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_paths_3": _q_common_paths,
         "changepoint_binseg": _q_changepoint_binseg,
         "piecewise_trend": _q_piecewise_trend,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
     }
 
 
@@ -5661,6 +5739,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "common_paths_3": _SQL_COMMON_PATHS,
         "changepoint_binseg": _SQL_CHANGEPOINT_BINSEG,
         "piecewise_trend": _SQL_PIECEWISE_TREND,
+        "cms_heavy_hitters": _SQL_CMS_HEAVY_HITTERS,
     }
 
 

@@ -537,6 +537,14 @@ NOTES = {
         "tier-scale stages, zero Python; the quantized argmax makes "
         "every child segment label engine-exact."
     ),
+    "cms_heavy_hitters": (
+        "One token explode -> ONE (row_idx, bucket) HashAggregate of "
+        "d*w cells (metadata scale regardless of corpus size) -> "
+        "broadcast probe join for the point queries. Sketches merge "
+        "by element-wise addition (pytest-gated), the histogram-tier "
+        "discipline — per-shard/per-day sketches roll up without "
+        "re-reading text."
+    ),
     "piecewise_trend": (
         "The binseg relabeling stages (broadcast parent splits, LEFT "
         "join so unsplit segments just stop subdividing) capped by "
