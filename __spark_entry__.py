@@ -5655,6 +5655,79 @@ GROUP BY 1, 2
 """
 
 
+def _q_holt_winters_mul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative Holt-Winters (alpha=0.5, beta=0.25, gamma=0.5,
+    m=7) per positive user series (operators/holtwinters.py,
+    multiplicative=True): ratio seasonal with neutral 1.0; the oracle
+    CTE steps the identical IEEE divide/multiply tree with the
+    seasonal ring as a list column."""
+    from tsclust_spark.operators.holtwinters import holt_winters
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter(
+            (F.col("user_id") <= 10)
+            & F.col("value").isNotNull()
+            & (F.col("value") > 0)
+        )
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = holt_winters(
+        ev, alpha=0.5, beta=0.25, gamma=0.5, period=7,
+        tiebreak_col="event_id", multiplicative=True,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        _sround("level_value", 6).alias("level_value"),
+        _sround("trend_value", 6).alias("trend_value"),
+        _sround("seasonal_value", 6).alias("seasonal_value"),
+    )
+
+
+_HWM_CP = (
+    "CASE WHEN len(rec.ring) >= 7 THEN rec.ring[1]"
+    " ELSE CAST(1.0 AS DOUBLE) END"
+)
+_HWM_S = f"0.5 * (p.value / ({_HWM_CP})) + 0.5 * (rec.s + rec.b)"
+_HWM_C = f"0.5 * (p.value / (rec.s + rec.b)) + 0.5 * ({_HWM_CP})"
+_HWM_B = f"0.25 * (({_HWM_S}) - rec.s) + 0.75 * rec.b"
+_HWM_RING = (
+    f"CASE WHEN len(rec.ring) >= 7 THEN list_append(rec.ring[2:], {_HWM_C}) "
+    f"ELSE list_append(rec.ring, {_HWM_C}) END"
+)
+
+_SQL_HOLT_WINTERS_MUL = f"""
+WITH RECURSIVE pts AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS r
+  FROM events WHERE user_id <= 10 AND value IS NOT NULL AND value > 0
+),
+rec AS (
+  SELECT user_id, event_id, r, CAST(value AS DOUBLE) AS s,
+         CAST(0.0 AS DOUBLE) AS b, CAST(1.0 AS DOUBLE) AS c,
+         [CAST(1.0 AS DOUBLE)] AS ring
+  FROM pts WHERE r = 0
+  UNION ALL
+  SELECT p.user_id, p.event_id, p.r,
+         {_HWM_S} AS s,
+         {_HWM_B} AS b,
+         {_HWM_C} AS c,
+         {_HWM_RING} AS ring
+  FROM rec JOIN pts p ON p.user_id = rec.user_id AND p.r = rec.r + 1
+)
+SELECT user_id, event_id,
+       {{lv}} AS level_value,
+       {{tv}} AS trend_value,
+       {{sv}} AS seasonal_value
+FROM rec
+""".format(
+    lv=_sql_round("s", 6),
+    tv=_sql_round("b", 6),
+    sv=_sql_round("c", 6),
+)
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -5699,6 +5772,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint_binseg": _q_changepoint_binseg,
         "piecewise_trend": _q_piecewise_trend,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "holt_winters_mul": _q_holt_winters_mul,
     }
 
 
@@ -5740,6 +5814,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "changepoint_binseg": _SQL_CHANGEPOINT_BINSEG,
         "piecewise_trend": _SQL_PIECEWISE_TREND,
         "cms_heavy_hitters": _SQL_CMS_HEAVY_HITTERS,
+        "holt_winters_mul": _SQL_HOLT_WINTERS_MUL,
     }
 
 

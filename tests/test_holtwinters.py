@@ -119,3 +119,49 @@ def test_rejects_bad_params(spark):
         holt_winters(df, 0.0, 0.1, 0.1, period=4)
     with pytest.raises(ValueError):
         holt_winters(df, 0.5, 0.1, 0.1, period=1)
+
+
+@pytest.mark.spark
+def test_multiplicative_lockstep_bitexact_and_recovers_ratio(spark):
+    """mul=True: lockstep == scalar bit-exact; a pure multiplicative
+    seasonal series is tracked with ratio ~ the true profile."""
+    from tsclust_spark.operators.holtwinters import (
+        _hw_lockstep,
+        _hw_scalar,
+        holt_winters,
+    )
+
+    rng = np.random.default_rng(23)
+    xs = [
+        np.abs(rng.normal(50, 5, int(n))) + 1.0
+        for n in rng.integers(10, 120, 30)
+    ]
+    flat = np.concatenate(xs)
+    starts = np.cumsum([0] + [x.size for x in xs[:-1]])
+    lo = _hw_lockstep(flat, starts, 0.5, 0.25, 0.5, 7, mul=True)
+    pos = 0
+    for x in xs:
+        sc = _hw_scalar(x, 0.5, 0.25, 0.5, 7, mul=True)
+        for a, b in zip(lo, sc):
+            assert np.array_equal(a[pos : pos + x.size], b)
+        pos += x.size
+
+    # ratio recovery: x_t = level * season[t % 4], season avg 1
+    season = np.array([0.5, 1.5, 0.8, 1.2])
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, i, t0 + dt.timedelta(hours=i), float(100.0 * season[i % 4]))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    out = holt_winters(
+        df, alpha=0.3, beta=0.05, gamma=0.6, period=4,
+        tiebreak_col="event_id", multiplicative=True,
+    ).orderBy("event_id").collect()
+    tail = out[-8:]
+    for r in tail:
+        i = r["event_id"]
+        assert r["seasonal_value"] == pytest.approx(
+            float(season[i % 4]), rel=0.1
+        )
+        assert r["level_value"] == pytest.approx(100.0, rel=0.1)

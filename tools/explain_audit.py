@@ -537,6 +537,12 @@ NOTES = {
         "tier-scale stages, zero Python; the quantized argmax makes "
         "every child segment label engine-exact."
     ),
+    "holt_winters_mul": (
+        "Same single-Exchange sorted mapInPandas as the additive HW "
+        "(one hash Exchange + lockstep Arrow kernel, O(1) cross-batch "
+        "carry incl. the seasonal ring); only the elementwise step "
+        "formulas differ (ratio seasonal, neutral 1.0)."
+    ),
     "cms_heavy_hitters": (
         "One token explode -> ONE (row_idx, bucket) HashAggregate of "
         "d*w cells (metadata scale regardless of corpus size) -> "

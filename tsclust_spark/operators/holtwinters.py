@@ -44,15 +44,23 @@ def _hw_scalar(
     gamma: float,
     m: int,
     carry: tuple[float, float, list] | None = None,
+    mul: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Reference kernel: the literal per-point three-state recurrence.
 
     ``carry = (s, b, ring)`` continues a series split across batches;
     ``ring`` holds the most recent seasonals oldest-first (len <= m).
+    ``mul=True`` runs the MULTIPLICATIVE seasonal form (seasonal is a
+    RATIO, neutral element 1.0, the series must be positive):
+
+        s_t = alpha*(x_t / c_prev) + (1-alpha)*(s_{t-1} + b_{t-1})
+        b_t = beta*(s_t - s_{t-1}) + (1-beta)*b_{t-1}
+        c_t = gamma*(x_t / (s_{t-1} + b_{t-1})) + (1-gamma)*c_prev
     """
     phi = 1.0 - alpha
     psi = 1.0 - beta
     delta = 1.0 - gamma
+    neutral = 1.0 if mul else 0.0
     n = x.size
     s_out = np.empty(n, dtype=np.float64)
     b_out = np.empty(n, dtype=np.float64)
@@ -65,16 +73,21 @@ def _hw_scalar(
         start = 0
     else:
         s, b = float(x[0]), 0.0
-        ring = [0.0]
-        s_out[0], b_out[0], c_out[0] = s, b, 0.0
+        ring = [neutral]
+        s_out[0], b_out[0], c_out[0] = s, b, neutral
         start = 1
     for i in range(start, n):
-        c_prev = ring.pop(0) if len(ring) >= m else 0.0
+        c_prev = ring.pop(0) if len(ring) >= m else neutral
         s_prev = s
         b_prev = b
-        s = alpha * (x[i] - c_prev) + phi * (s_prev + b_prev)
-        b = beta * (s - s_prev) + psi * b_prev
-        c = gamma * (x[i] - s_prev - b_prev) + delta * c_prev
+        if mul:
+            s = alpha * (x[i] / c_prev) + phi * (s_prev + b_prev)
+            b = beta * (s - s_prev) + psi * b_prev
+            c = gamma * (x[i] / (s_prev + b_prev)) + delta * c_prev
+        else:
+            s = alpha * (x[i] - c_prev) + phi * (s_prev + b_prev)
+            b = beta * (s - s_prev) + psi * b_prev
+            c = gamma * (x[i] - s_prev - b_prev) + delta * c_prev
         ring.append(c)
         s_out[i], b_out[i], c_out[i] = s, b, c
     return s_out, b_out, c_out
@@ -87,13 +100,15 @@ def _hw_lockstep(
     beta: float,
     gamma: float,
     m: int,
+    mul: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Holt-Winters over many concatenated series in lockstep.
 
     Same packing / shrinking-active-prefix scheme as the Holt kernel;
     the seasonal lookback reads column ``t - m`` of the seasonal
-    matrix (or the zero vector while ``t < m``).  Elementwise op order
-    is identical to :func:`_hw_scalar` (asserted bit-exact in tests).
+    matrix (or the neutral vector while ``t < m`` — zeros additive,
+    ones multiplicative).  Elementwise op order is identical to
+    :func:`_hw_scalar` (asserted bit-exact in tests).
     """
     n = x.size
     s_y = np.empty(n, dtype=np.float64)
@@ -105,6 +120,7 @@ def _hw_lockstep(
     phi = 1.0 - alpha
     psi = 1.0 - beta
     delta = 1.0 - gamma
+    neutral = 1.0 if mul else 0.0
     lens = np.diff(np.append(starts, n))
     g = lens.size
     bounds = np.append(starts, n)
@@ -116,7 +132,7 @@ def _hw_lockstep(
     if n < 14 * max_len:
         for i in range(g):
             seg = x[bounds[i] : bounds[i + 1]]
-            so, bo, co = _hw_scalar(seg, alpha, beta, gamma, m)
+            so, bo, co = _hw_scalar(seg, alpha, beta, gamma, m, mul=mul)
             s_y[bounds[i] : bounds[i + 1]] = so
             b_y[bounds[i] : bounds[i + 1]] = bo
             c_y[bounds[i] : bounds[i + 1]] = co
@@ -137,18 +153,23 @@ def _hw_lockstep(
     b_acc = np.zeros(g, dtype=np.float64)
     S[:, 0] = s_acc
     B[:, 0] = 0.0
-    C[:, 0] = 0.0
+    C[:, 0] = neutral
 
     neg = -lens_s
-    zeros = np.zeros(g, dtype=np.float64)
+    neutrals = np.full(g, neutral, dtype=np.float64)
     for t in range(1, max_len):
         c = int(np.searchsorted(neg, -t, side="left"))
-        c_prev = C[:c, t - m] if t >= m else zeros[:c]
+        c_prev = C[:c, t - m] if t >= m else neutrals[:c]
         s_prev = s_acc[:c]
         b_prev = b_acc[:c].copy()
-        s_new = alpha * (X[:c, t] - c_prev) + phi * (s_prev + b_prev)
-        b_new = beta * (s_new - s_prev) + psi * b_prev
-        c_new = gamma * (X[:c, t] - s_prev - b_prev) + delta * c_prev
+        if mul:
+            s_new = alpha * (X[:c, t] / c_prev) + phi * (s_prev + b_prev)
+            b_new = beta * (s_new - s_prev) + psi * b_prev
+            c_new = gamma * (X[:c, t] / (s_prev + b_prev)) + delta * c_prev
+        else:
+            s_new = alpha * (X[:c, t] - c_prev) + phi * (s_prev + b_prev)
+            b_new = beta * (s_new - s_prev) + psi * b_prev
+            c_new = gamma * (X[:c, t] - s_prev - b_prev) + delta * c_prev
         s_acc[:c] = s_new
         b_acc[:c] = b_new
         S[:c, t] = s_new
@@ -178,9 +199,17 @@ def holt_winters(
     trend_col: str = "trend_value",
     seasonal_col: str = "seasonal_value",
     tiebreak_col: str | None = None,
+    multiplicative: bool = False,
 ) -> DataFrame:
     """Append Holt-Winters level / trend / seasonal per key, ordered by
-    (ts_col, tiebreak_col).  ``period`` is in points (>= 2)."""
+    (ts_col, tiebreak_col).  ``period`` is in points (>= 2).
+
+    ``multiplicative=True`` switches the seasonal component to a
+    RATIO (classical multiplicative Holt-Winters — amplitude grows
+    with level, neutral seasonal 1.0).  Only defined for positive
+    series: filter ``value > 0`` upstream, as the driver gate does —
+    a zero/negative level makes the ratio recurrence blow up, which
+    is the textbook constraint, not an engine one."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
     if not 0.0 <= beta <= 1.0:
@@ -218,14 +247,16 @@ def holt_winters(
                 # continued series: scalar kernel with the carried ring
                 end = int(starts[1]) if starts.size > 1 else x.size
                 so, bo, co = _hw_scalar(
-                    x[:end], alpha, beta, gamma, period, carry=carry
+                    x[:end], alpha, beta, gamma, period, carry=carry,
+                    mul=multiplicative,
                 )
                 s_y[:end], b_y[:end], c_y[:end] = so, bo, co
                 lo = end
                 starts = starts[1:]
             if lo < x.size:
                 so, bo, co = _hw_lockstep(
-                    x[lo:], starts - lo, alpha, beta, gamma, period
+                    x[lo:], starts - lo, alpha, beta, gamma, period,
+                    mul=multiplicative,
                 )
                 s_y[lo:], b_y[lo:], c_y[lo:] = so, bo, co
             # carry for the (possibly continued) last series
