@@ -5728,6 +5728,72 @@ FROM rec
 )
 
 
+def _q_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-step-ahead Holt-Winters forecasts from each user's final
+    state (operators/holtwinters.py::hw_forecast): the textbook
+    yhat(h) = s + h*b + c[(h-1) mod m] over the carried seasonal
+    ring; the oracle re-steps the same recursion and projects the
+    identical forecast tree from its last m rows."""
+    from tsclust_spark.operators.holtwinters import holt_winters, hw_forecast
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter((F.col("user_id") <= 10) & F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    sm = holt_winters(
+        ev, alpha=0.5, beta=0.25, gamma=0.5, period=7,
+        tiebreak_col="event_id",
+    )
+    fc = hw_forecast(sm, horizon=12, period=7, tiebreak_col="event_id")
+    return fc.select(
+        "user_id", "h", _sround("forecast", 6).alias("forecast")
+    )
+
+
+_SQL_HW_FORECAST = f"""
+WITH RECURSIVE pts AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS r
+  FROM events WHERE user_id <= 10 AND value IS NOT NULL
+),
+rec AS (
+  SELECT user_id, event_id, r, CAST(value AS DOUBLE) AS s,
+         CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS c,
+         [CAST(0.0 AS DOUBLE)] AS ring
+  FROM pts WHERE r = 0
+  UNION ALL
+  SELECT p.user_id, p.event_id, p.r,
+         {_HW_S} AS s,
+         {_HW_B} AS b,
+         {_HW_C} AS c,
+         {_HW_RING} AS ring
+  FROM rec JOIN pts p ON p.user_id = rec.user_id AND p.r = rec.r + 1
+),
+tailr AS (
+  SELECT user_id, s, b, c,
+         row_number() OVER (PARTITION BY user_id ORDER BY r DESC) AS rn
+  FROM rec
+),
+st AS (
+  SELECT user_id,
+         max(CASE WHEN rn = 1 THEN s END) AS s,
+         max(CASE WHEN rn = 1 THEN b END) AS b,
+         list(c ORDER BY rn DESC) AS ring
+  FROM tailr WHERE rn <= 7 GROUP BY user_id
+  HAVING count(*) >= 7
+),
+f AS (
+  SELECT st.user_id, hh.h,
+         st.s + hh.h * st.b + st.ring[((hh.h - 1) % 7) + 1] AS fc
+  FROM st, (SELECT unnest(range(1, 13)) AS h) hh
+)
+SELECT user_id, CAST(h AS BIGINT) AS h,
+       {_sql_round('fc', 6)} AS forecast
+FROM f
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -5773,6 +5839,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "piecewise_trend": _q_piecewise_trend,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "holt_winters_mul": _q_holt_winters_mul,
+        "hw_forecast_12": _q_hw_forecast,
     }
 
 
@@ -5815,6 +5882,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "piecewise_trend": _SQL_PIECEWISE_TREND,
         "cms_heavy_hitters": _SQL_CMS_HEAVY_HITTERS,
         "holt_winters_mul": _SQL_HOLT_WINTERS_MUL,
+        "hw_forecast_12": _SQL_HW_FORECAST,
     }
 
 

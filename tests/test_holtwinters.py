@@ -165,3 +165,67 @@ def test_multiplicative_lockstep_bitexact_and_recovers_ratio(spark):
             float(season[i % 4]), rel=0.1
         )
         assert r["level_value"] == pytest.approx(100.0, rel=0.1)
+
+
+@pytest.mark.spark
+def test_hw_forecast_continues_perfect_pattern(spark):
+    """On a perfectly-learned series, the h-step forecast must equal
+    the series' actual continuation (trend + additive season)."""
+    from tsclust_spark.operators.holtwinters import (
+        _hw_scalar,
+        holt_winters,
+        hw_forecast,
+    )
+
+    pat = np.array([5.0, -5.0, 2.0, -2.0])
+    n, m = 400, 4
+
+    def truth(i):
+        return 10.0 + 0.5 * i + float(pat[i % m])
+
+    rows = [
+        (1, i, T0 + dt.timedelta(hours=i), truth(i)) for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts", "value"]
+    )
+    sm = holt_winters(
+        df, 0.3, 0.1, 0.5, period=m, tiebreak_col="event_id"
+    )
+    fc = {
+        r["h"]: r["forecast"]
+        for r in hw_forecast(
+            sm, horizon=8, period=m, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert set(fc) == set(range(1, 9))
+    for h in range(1, 9):
+        assert fc[h] == pytest.approx(truth(n - 1 + h), rel=0.02), h
+
+    # forecast formula twin from the scalar kernel's final state
+    x = np.array([truth(i) for i in range(n)])
+    s, b, c = _hw_scalar(x, 0.3, 0.1, 0.5, m)
+    ring = list(c[-m:])
+    for h in range(1, 9):
+        want = s[-1] + h * b[-1] + ring[(h - 1) % m]
+        assert fc[h] == pytest.approx(want, rel=1e-12), h
+
+
+@pytest.mark.spark
+def test_hw_forecast_short_keys_omitted(spark):
+    from tsclust_spark.operators.holtwinters import (
+        holt_winters,
+        hw_forecast,
+    )
+
+    rows = [
+        (1, i, T0 + dt.timedelta(hours=i), float(i)) for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts", "value"]
+    )
+    sm = holt_winters(df, 0.5, 0.25, 0.5, period=7, tiebreak_col="event_id")
+    assert (
+        hw_forecast(sm, horizon=5, period=7, tiebreak_col="event_id").count()
+        == 0
+    )

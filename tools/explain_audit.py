@@ -537,6 +537,13 @@ NOTES = {
         "tier-scale stages, zero Python; the quantized argmax makes "
         "every child segment label engine-exact."
     ),
+    "hw_forecast_12": (
+        "The smoothing plan capped by one rank Window taking each "
+        "key's last m rows, one re-nest aggregate, and a "
+        "sequence+posexplode horizon projection — all Catalyst, "
+        "output cardinality keys x horizon. Turning states into "
+        "actual forecasts costs no new point-scale stage."
+    ),
     "holt_winters_mul": (
         "Same single-Exchange sorted mapInPandas as the additive HW "
         "(one hash Exchange + lockstep Arrow kernel, O(1) cross-batch "

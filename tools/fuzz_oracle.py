@@ -97,7 +97,7 @@ DEFAULT_QUERIES = [
     "cohort_retention_weekly", "pq_exact_adc",
     "event_transitions", "transition_entropy", "funnel_latency",
     "common_paths_3", "changepoint_binseg", "piecewise_trend",
-    "cms_heavy_hitters", "holt_winters_mul",
+    "cms_heavy_hitters", "holt_winters_mul", "hw_forecast_12",
 ]
 
 

@@ -33,7 +33,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -278,4 +278,91 @@ def holt_winters(
         df.repartition(key_col)
         .sortWithinPartitions(*sort_cols)
         .mapInPandas(run, schema=schema)
+    )
+
+
+def hw_forecast(
+    smoothed: DataFrame,
+    horizon: int,
+    period: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    level_col: str = "level_value",
+    trend_col: str = "trend_value",
+    seasonal_col: str = "seasonal_value",
+    tiebreak_col: str | None = None,
+    multiplicative: bool = False,
+) -> DataFrame:
+    """Turn :func:`holt_winters` output into actual h-step-ahead
+    forecasts: ``(key, h, forecast)`` for h = 1..horizon, from each
+    key's FINAL state:
+
+        additive:        yhat(h) = s + h*b + c[(h-1) mod m]
+        multiplicative:  yhat(h) = (s + h*b) * c[(h-1) mod m]
+
+    where ``c`` is the last ``period`` seasonal values in phase order
+    (the value for step h is the seasonal learned ``period`` steps
+    before that phase — the textbook h-step rule with the ring this
+    engine's recurrence carries).
+
+    Engine shape: one rank window takes each key's last ``period``
+    rows (state + ring tail), one aggregate re-nests the ring as a
+    phase-ordered array, and the h horizon rows come from
+    posexplode over a ``sequence`` literal — all Catalyst, zero
+    Python, output cardinality keys x horizon.  Keys with fewer than
+    ``period`` smoothed points are omitted (their ring is still
+    part-neutral; forecasting from it silently would look like data).
+    """
+    order = [F.col(ts_col).desc()] + (
+        [F.col(tiebreak_col).desc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    tail = (
+        smoothed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= period)
+    )
+    per_key = (
+        tail.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max(
+                F.when(F.col("_rn") == 1, F.col(level_col))
+            ).alias("_s"),
+            F.max(
+                F.when(F.col("_rn") == 1, F.col(trend_col))
+            ).alias("_b"),
+            # ring oldest-first: _rn = period is c_{t-m+1} ... _rn = 1
+            # is c_t; phase for step h is ring[(h-1) mod m] with
+            # ring[0] = c_{t-m+1} = the seasonal of phase t+1
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("_rn")).alias("o"),
+                            F.col(seasonal_col).alias("c"),
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ).alias("_ring"),
+        )
+        .filter(F.col("_n") >= period)
+    )
+    hs = F.posexplode(
+        F.sequence(F.lit(1), F.lit(int(horizon)))
+    )
+    base = per_key.select(key_col, "_s", "_b", "_ring", hs)
+    h = F.col("col").cast("long")
+    season = F.get(
+        F.col("_ring"), ((h - 1) % period).cast("int")
+    )
+    yhat = (
+        (F.col("_s") + h.cast("double") * F.col("_b")) * season
+        if multiplicative
+        else (F.col("_s") + h.cast("double") * F.col("_b")) + season
+    )
+    return base.select(
+        key_col,
+        h.alias("h"),
+        yhat.alias("forecast"),
     )
