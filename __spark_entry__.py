@@ -5163,7 +5163,9 @@ contrib AS (
   FROM ud, range(7) t(k)
 )
 SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS active_users
-FROM contrib GROUP BY day
+FROM contrib
+WHERE day <= (SELECT max(aday) FROM ud)
+GROUP BY day
 """
 
 

@@ -113,9 +113,9 @@ def test_rolling_active_users_window(spark):
     assert got[7] == 1  # day0 aged out; only u3's day3
     assert got[9] == 1  # u3 day3 last contributes to day 9
     assert got[10] == 1  # u2's day10
-    assert 13 not in got or got[13] == 1
-    assert 17 not in got  # nothing within [11, 17]... day10+6=16
-    assert got[16] == 1
+    # report days are capped at the LAST active day: no phantom
+    # trailing rows counting only stale activity
+    assert max(got) == 10
 
 
 @pytest.mark.spark

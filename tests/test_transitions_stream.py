@@ -140,3 +140,25 @@ def test_stream_duplicate_ts_tiebreak(spark, tmp_path):
         for r in _run_stream(spark, in_dir, ckpt, "trans_dup").collect()
     ]
     assert sorted(got) == [("a", "b"), ("b", "c")]
+
+
+def test_stream_preserves_microsecond_timestamps(spark, tmp_path):
+    """Output ts must equal the source event ts EXACTLY — epoch-scale
+    nanoseconds exceed float64's integer range, so any float
+    round-trip shows up here as a +/-1 us drift."""
+    in_dir, ckpt = str(tmp_path / "in3"), str(tmp_path / "ckpt3")
+    t = dt.datetime(2024, 7, 1, 12, 0, 0, 123457)
+    rows = [
+        (1, 1, t, "a"),
+        (2, 1, t + dt.timedelta(microseconds=1), "b"),
+        (3, 1, t + dt.timedelta(microseconds=3), "c"),
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    got = {
+        (r["from_type"], r["to_type"]): r["ts"]
+        for r in _run_stream(spark, in_dir, ckpt, "trans_us").collect()
+    }
+    assert got[("a", "b")] == t + dt.timedelta(microseconds=1)
+    assert got[("b", "c")] == t + dt.timedelta(microseconds=3)

@@ -52,13 +52,10 @@ def ar1_fit(
     fits phi exactly with zero residual but an undefined variance
     denominator is avoided by requiring n_pairs >= 2.
     """
-    tier = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(
-            F.col(key_col).cast("string").alias("key"),
-            F.date_trunc("day", F.col(ts_col)).alias("bucket"),
-        )
-        .agg(F.avg(value_col).alias("v"))
+    from tsclust_spark.operators.tiering import value_tier
+
+    tier = value_tier(
+        df, "day", key_col=key_col, ts_col=ts_col, value_col=value_col
     )
 
     w = Window.partitionBy("key").orderBy("bucket")

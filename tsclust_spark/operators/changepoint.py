@@ -50,13 +50,10 @@ def changepoint_amoc(
     (no split exists).  ``mean_before``/``mean_after``/``cp_stat``
     are unrounded doubles; round at the call site for gating.
     """
-    tier = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(
-            F.col(key_col).cast("string").alias("key"),
-            F.date_trunc("day", F.col(ts_col)).alias("bucket"),
-        )
-        .agg(F.avg(value_col).alias("v"))
+    from tsclust_spark.operators.tiering import value_tier
+
+    tier = value_tier(
+        df, "day", key_col=key_col, ts_col=ts_col, value_col=value_col
     )
 
     w = Window.partitionBy("key").orderBy("bucket")
@@ -106,6 +103,62 @@ def changepoint_amoc(
             "cp_stat",
         )
     )
+
+
+def _seg_tier(df, key_col, ts_col, value_col):
+    """Daily tier with the root segment label — the shared input of
+    changepoint_binseg and piecewise_trend."""
+    from tsclust_spark.operators.tiering import value_tier
+
+    return value_tier(
+        df, "day", key_col=key_col, ts_col=ts_col, value_col=value_col
+    ).withColumn("seg", F.lit(""))
+
+
+def _binseg_labels(
+    tier: DataFrame,
+    depth: int,
+    min_seg: int,
+    rank_decimals: int,
+    keep_unsplit: bool,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Run ``depth`` binseg levels over a ('' -seeded) segmented tier.
+
+    Returns ``(relabeled tier, per-level accepted splits)``.  With
+    ``keep_unsplit=False`` (changepoint_binseg) the relabel join is
+    inner — rows whose segment had no accepted split drop out, which
+    is fine because only the split lists are consumed.  With
+    ``keep_unsplit=True`` (piecewise_trend) it is a LEFT join and
+    unsplit segments keep their label, so every tier row survives to
+    the final segmentation.  One shared implementation so the
+    split-acceptance and relabel rules cannot diverge between the two
+    operators.
+    """
+    levels = []
+    for _ in range(depth):
+        best = _amoc_best_per_segment(tier, rank_decimals, min_seg)
+        levels.append(best)
+        sel = best.select("key", "seg", F.col("cp_bucket").alias("_cp"))
+        tier = (
+            tier.join(
+                F.broadcast(sel),
+                ["key", "seg"],
+                "left" if keep_unsplit else "inner",
+            )
+            .withColumn(
+                "seg",
+                F.when(F.col("_cp").isNull(), F.col("seg")).otherwise(
+                    F.concat(
+                        F.col("seg"),
+                        F.when(
+                            F.col("bucket") <= F.col("_cp"), F.lit("L")
+                        ).otherwise(F.lit("R")),
+                    )
+                ),
+            )
+            .drop("_cp")
+        )
+    return tier, levels
 
 
 def _amoc_best_per_segment(
@@ -197,35 +250,10 @@ def changepoint_binseg(
     earliest bucket), so the SPLIT — and therefore every child
     segment label downstream — is engine- and partitioning-exact.
     """
-    tier = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(
-            F.col(key_col).cast("string").alias("key"),
-            F.date_trunc("day", F.col(ts_col)).alias("bucket"),
-        )
-        .agg(F.avg(value_col).alias("v"))
-        .withColumn("seg", F.lit(""))
+    tier = _seg_tier(df, key_col, ts_col, value_col)
+    _, levels = _binseg_labels(
+        tier, depth, min_seg, rank_decimals, keep_unsplit=False
     )
-    levels = []
-    for _ in range(depth):
-        best = _amoc_best_per_segment(tier, rank_decimals, min_seg)
-        levels.append(best)
-        tier = (
-            tier.join(
-                F.broadcast(best.select("key", "seg", "cp_bucket")),
-                ["key", "seg"],
-            )
-            .withColumn(
-                "seg",
-                F.concat(
-                    F.col("seg"),
-                    F.when(
-                        F.col("bucket") <= F.col("cp_bucket"), F.lit("L")
-                    ).otherwise(F.lit("R")),
-                ),
-            )
-            .drop("cp_bucket")
-        )
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
@@ -267,43 +295,12 @@ def piecewise_trend(
     sums-of-products slope algebra (the ar1.py discipline) —
     projected driver-free, zero Python.
     """
-    tier = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(
-            F.col(key_col).cast("string").alias("key"),
-            F.date_trunc("day", F.col(ts_col)).alias("bucket"),
-        )
-        .agg(F.avg(value_col).alias("v"))
-        .withColumn("seg", F.lit(""))
+    tier = _seg_tier(df, key_col, ts_col, value_col)
+    # same accepted splits as changepoint_binseg; keep_unsplit keeps
+    # segments without a split so they simply stop subdividing
+    tier, _ = _binseg_labels(
+        tier, depth, min_seg, rank_decimals, keep_unsplit=True
     )
-    # relabel depth times using the same accepted splits as
-    # changepoint_binseg (LEFT join: segments without an accepted
-    # split keep their label and simply stop subdividing)
-    for _ in range(depth):
-        best = _amoc_best_per_segment(tier, rank_decimals, min_seg)
-        tier = (
-            tier.join(
-                F.broadcast(
-                    best.select(
-                        "key", "seg", F.col("cp_bucket").alias("_cp")
-                    )
-                ),
-                ["key", "seg"],
-                "left",
-            )
-            .withColumn(
-                "seg",
-                F.when(F.col("_cp").isNull(), F.col("seg")).otherwise(
-                    F.concat(
-                        F.col("seg"),
-                        F.when(
-                            F.col("bucket") <= F.col("_cp"), F.lit("L")
-                        ).otherwise(F.lit("R")),
-                    )
-                ),
-            )
-            .drop("_cp")
-        )
     d_idx = F.datediff(
         F.col("bucket"), F.lit("1970-01-01").cast("date")
     ).cast("double")

@@ -44,11 +44,11 @@ def coverage_report(
     non-NULL point yields exactly one row."""
     tier = (
         df.filter(F.col(value_col).isNotNull())
-        .groupBy(
+        .select(
             F.col(key_col).cast("string").alias("key"),
             F.to_date(F.date_trunc("day", F.col(ts_col))).alias("day"),
         )
-        .agg(F.count(F.lit(1)).alias("n_pts"))
+        .distinct()
     )
 
     w = Window.partitionBy("key").orderBy("day")

@@ -160,7 +160,10 @@ def rolling_active_users(
     Exact, via contribution expansion over the (user, day) tier:
     report days with zero activity in their whole trailing window
     emit no row (they would be 0; materializing them is gap-fill's
-    job).
+    job), and report days never extend past the data's LAST active
+    day — without the cap the expansion would emit up to
+    window_days - 1 phantom trailing rows counting only stale
+    activity, which a WAU plot would read as real observed days.
     """
     ud = (
         df.select(
@@ -169,6 +172,7 @@ def rolling_active_users(
         )
         .distinct()
     )
+    last = ud.agg(F.max("aday").alias("_last_day"))
     offsets = F.sequence(F.lit(0), F.lit(int(window_days) - 1))
     contrib = ud.select(
         "user",
@@ -180,7 +184,9 @@ def rolling_active_users(
         ).alias("day"),
     )
     return (
-        contrib.groupBy("day")
+        contrib.join(F.broadcast(last))  # 1-row dim
+        .filter(F.col("day") <= F.col("_last_day"))
+        .groupBy("day")
         .agg(F.count_distinct("user").alias("active_users"))
         .select("day", F.col("active_users").cast("long").alias("active_users"))
     )

@@ -54,13 +54,10 @@ def permutation_entropy(
     Keys with fewer than ``min_windows`` consecutive-hour triples are
     omitted (the plug-in entropy estimate is meaningless below that).
     """
-    tier = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(
-            F.col(key_col).cast("string").alias("key"),
-            F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
-        )
-        .agg(F.avg(value_col).alias("v"))
+    from tsclust_spark.operators.tiering import value_tier
+
+    tier = value_tier(
+        df, "hour", key_col=key_col, ts_col=ts_col, value_col=value_col
     )
 
     w = Window.partitionBy("key").orderBy("bucket")

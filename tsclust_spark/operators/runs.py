@@ -96,10 +96,10 @@ def monotone_runs(
     The ramp complement of :func:`plateau_runs`: a sensor that only
     ever integrates (a leak, a stuck accumulator) shows an
     implausibly long strict ramp long before any distribution gate
-    trips.  Keys with no move in a direction emit no row for it;
-    every key with >= 2 ordered points emits at least one row
-    (any adjacent pair is up, down, or flat — flat belongs to
-    plateau_runs, not here).
+    trips.  Keys with no move in a direction emit no row for it — in
+    particular a fully-FLAT key (every adjacent pair equal) emits no
+    rows at all: flats are plateau_runs' domain, and the two
+    operators partition the adjacent-pair space between them.
 
     Engine shape: one ``lag`` for the step sign, then the same
     gaps-and-islands two-``row_number`` rewrite as plateau_runs (the

@@ -59,13 +59,10 @@ def spectral_power(
     than ``min_buckets`` hourly buckets or zero variance are omitted
     (the ratio is undefined; engines disagree on 0/0).
     """
-    tier = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(
-            F.col(key_col).cast("string").alias("key"),
-            F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
-        )
-        .agg(F.avg(value_col).alias("v"))
+    from tsclust_spark.operators.tiering import value_tier
+
+    tier = value_tier(
+        df, "hour", key_col=key_col, ts_col=ts_col, value_col=value_col
     )
 
     h = F.unix_timestamp("bucket") / F.lit(3600.0)

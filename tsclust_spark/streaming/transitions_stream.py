@@ -34,7 +34,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_type", T.StringType()),
-        T.StructField("last_ts", T.DoubleType()),
+        # int64 nanoseconds: epoch-scale ns exceed float64's 2^53
+        # integer range, so a double here would corrupt the late-row
+        # comparison (and a float round-trip corrupted output ts in
+        # the first cut — timestamps now pass through untouched)
+        T.StructField("last_ts_ns", T.LongType()),
     ]
 )
 
@@ -56,10 +60,10 @@ def _make_step(tiebreak_col: str | None):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            last_type, last_ts = state.get
+            last_type, last_ts_ns = state.get
             have = True
         else:
-            last_type, last_ts = None, float("-inf")
+            last_type, last_ts_ns = None, -(2**62)
             have = False
         for pdf in pdfs:
             sort_cols = ["ts"] + (
@@ -68,34 +72,37 @@ def _make_step(tiebreak_col: str | None):
                 else []
             )
             pdf = pdf.sort_values(sort_cols, kind="mergesort")
-            out = {"ts": [], "from_type": [], "to_type": [], "late": []}
-            for ts, et in zip(
-                pdf["ts"].astype("int64") / 1e9,
-                pdf["event_type"].astype(str),
-            ):
-                late = have and ts < last_ts
+            keep = []
+            out = {"from_type": [], "to_type": [], "late": []}
+            ts_ns = pdf["ts"].astype("int64").to_numpy()  # exact
+            types = pdf["event_type"].astype(str).to_numpy()
+            for i in range(ts_ns.size):
+                t_ns, et = int(ts_ns[i]), types[i]
+                late = have and t_ns < last_ts_ns
                 if have:
-                    out["ts"].append(ts)
+                    keep.append(i)
                     out["from_type"].append(last_type)
                     out["to_type"].append(et)
                     out["late"].append(late)
                 last_type = et
                 have = True
                 if not late:
-                    last_ts = ts
-            if out["ts"]:
+                    last_ts_ns = t_ns
+            if keep:
+                # output ts is the source row's ts, untouched — no
+                # float round-trip, bit-identical to the batch row
                 yield pd.DataFrame(
                     {
                         "user_id": key[0],
-                        "ts": pd.to_datetime(
-                            pd.Series(out["ts"]) * 1e9, unit="ns"
+                        "ts": pdf["ts"].iloc[keep].reset_index(
+                            drop=True
                         ),
                         "from_type": out["from_type"],
                         "to_type": out["to_type"],
                         "late": out["late"],
                     }
                 )
-        state.update((last_type, last_ts))
+        state.update((last_type, last_ts_ns))
 
     return step
 
