@@ -5796,6 +5796,53 @@ FROM f
 """
 
 
+def _q_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gardner-McKenzie damped-trend Holt (alpha=0.3, beta=0.2,
+    damping=0.9) per user series (operators/holt.py, damping<1): the
+    oracle CTE steps s' = 0.3*x + 0.7*(s + 0.9*b);
+    b' = 0.2*(s'-s) + (0.8*0.9)*b — the same precomputed-gd IEEE tree
+    as the kernel."""
+    from tsclust_spark.operators.holt import holt
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter((F.col("user_id") <= 10) & F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = holt(
+        ev, alpha=0.3, beta=0.2, tiebreak_col="event_id", damping=0.9
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        _sround("level_value", 6).alias("level_value"),
+        _sround("trend_value", 6).alias("trend_value"),
+    )
+
+
+_SQL_HOLT_DAMPED = f"""
+WITH RECURSIVE pts AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS r
+  FROM events WHERE user_id <= 10 AND value IS NOT NULL
+),
+rec AS (
+  SELECT user_id, event_id, r, value AS s, CAST(0.0 AS DOUBLE) AS b
+  FROM pts WHERE r = 0
+  UNION ALL
+  SELECT p.user_id, p.event_id, p.r,
+         0.3 * p.value + 0.7 * (rec.s + 0.9 * rec.b),
+         0.2 * ((0.3 * p.value + 0.7 * (rec.s + 0.9 * rec.b)) - rec.s)
+           + (0.8 * 0.9) * rec.b
+  FROM rec JOIN pts p ON p.user_id = rec.user_id AND p.r = rec.r + 1
+)
+SELECT user_id, event_id,
+       {_sql_round('s', 6)} AS level_value,
+       {_sql_round('b', 6)} AS trend_value
+FROM rec
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -5842,6 +5889,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "holt_winters_mul": _q_holt_winters_mul,
         "hw_forecast_12": _q_hw_forecast,
+        "holt_damped": _q_holt_damped,
     }
 
 
@@ -5885,6 +5933,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _SQL_CMS_HEAVY_HITTERS,
         "holt_winters_mul": _SQL_HOLT_WINTERS_MUL,
         "hw_forecast_12": _SQL_HW_FORECAST,
+        "holt_damped": _SQL_HOLT_DAMPED,
     }
 
 

@@ -91,3 +91,52 @@ def test_rejects_bad_params(spark):
         holt(df, 0.0, 0.2)
     with pytest.raises(ValueError):
         holt(df, 0.3, 1.5)
+
+
+def test_damping_one_is_bit_identical_to_classic():
+    from tsclust_spark.operators.holt import _holt_lockstep, _holt_scalar
+
+    x = RNG.normal(size=300).astype(np.float64)
+    s0, b0 = _holt_scalar(x, 0.3, 0.2)
+    s1, b1 = _holt_scalar(x, 0.3, 0.2, damping=1.0)
+    assert (s0 == s1).all() and (b0 == b1).all()
+    starts = np.array([0, 100, 250])
+    l0 = _holt_lockstep(x, starts, 0.3, 0.2)
+    l1 = _holt_lockstep(x, starts, 0.3, 0.2, damping=1.0)
+    assert (l0[0] == l1[0]).all() and (l0[1] == l1[1]).all()
+
+
+def test_damped_lockstep_bit_equals_scalar_and_trend_decays():
+    from tsclust_spark.operators.holt import _holt_lockstep, _holt_scalar
+
+    xs = [RNG.normal(size=int(n)) for n in RNG.integers(5, 80, 40)]
+    flat = np.concatenate(xs).astype(np.float64)
+    starts = np.cumsum([0] + [x.size for x in xs[:-1]])
+    lo = _holt_lockstep(flat, starts, 0.3, 0.2, damping=0.9)
+    pos = 0
+    for x in xs:
+        sc = _holt_scalar(x.astype(np.float64), 0.3, 0.2, damping=0.9)
+        assert (lo[0][pos : pos + x.size] == sc[0]).all()
+        assert (lo[1][pos : pos + x.size] == sc[1]).all()
+        pos += x.size
+
+    # a linear ramp that flattens: the damped trend decays toward 0
+    # after the ramp ends, the classic trend decays slower (only via
+    # beta); with damping every step multiplies the trend by d too
+    ramp = np.concatenate([np.arange(50.0), np.full(100, 49.0)])
+    _, b_classic = _holt_scalar(ramp, 0.3, 0.2)
+    _, b_damped = _holt_scalar(ramp, 0.3, 0.2, damping=0.8)
+    assert abs(b_damped[-1]) < abs(b_classic[-1])
+    assert abs(b_damped[-1]) < 0.05
+
+
+def test_damped_rejects_bad_damping(spark):
+    from tsclust_spark.operators.holt import holt
+
+    df = spark.createDataFrame(
+        [(1, T0, 1.0)], "user_id long, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError):
+        holt(df, 0.3, 0.2, damping=0.0)
+    with pytest.raises(ValueError):
+        holt(df, 0.3, 0.2, damping=1.5)

@@ -537,6 +537,12 @@ NOTES = {
         "tier-scale stages, zero Python; the quantized argmax makes "
         "every child segment label engine-exact."
     ),
+    "holt_damped": (
+        "Identical single-Exchange lockstep plan to holt_events; the "
+        "damping factor folds into the per-step elementwise ops (and "
+        "at d=1.0 is an IEEE identity, so classic Holt stays "
+        "bit-unchanged — pytest-asserted)."
+    ),
     "hw_forecast_12": (
         "The smoothing plan capped by one rank Window taking each "
         "key's last m rows, one re-nest aggregate, and a "

@@ -41,14 +41,20 @@ def _holt_scalar(
     alpha: float,
     beta: float,
     carry: tuple[float, float] | None = None,
+    damping: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Reference kernel: the literal per-point two-state recurrence.
 
     Bit-exactness oracle for :func:`_holt_lockstep`; also the adaptive
-    fallback for batches of few long series.
+    fallback for batches of few long series.  ``damping`` < 1 runs
+    Gardner-McKenzie damped-trend Holt (s' = alpha*x +
+    (1-alpha)*(s + d*b); b' = beta*(s'-s) + (1-beta)*d*b); at the
+    default 1.0 the extra multiplies are IEEE identities, so classic
+    Holt output is bit-unchanged.
     """
     phi = 1.0 - alpha
-    gamma = 1.0 - beta
+    gd = (1.0 - beta) * damping
+    d = damping
     n = x.size
     s_out = np.empty(n, dtype=np.float64)
     b_out = np.empty(n, dtype=np.float64)
@@ -56,14 +62,14 @@ def _holt_scalar(
         return s_out, b_out
     if carry is not None:
         s_prev, b = carry
-        s = alpha * x[0] + phi * (s_prev + b)
-        b = beta * (s - s_prev) + gamma * b
+        s = alpha * x[0] + phi * (s_prev + d * b)
+        b = beta * (s - s_prev) + gd * b
     else:
         s, b = x[0], 0.0
     s_out[0], b_out[0] = s, b
     for i in range(1, n):
-        s_new = alpha * x[i] + phi * (s + b)
-        b = beta * (s_new - s) + gamma * b
+        s_new = alpha * x[i] + phi * (s + d * b)
+        b = beta * (s_new - s) + gd * b
         s = s_new
         s_out[i], b_out[i] = s, b
     return s_out, b_out
@@ -75,6 +81,7 @@ def _holt_lockstep(
     alpha: float,
     beta: float,
     carry: tuple[float, float] | None = None,
+    damping: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Holt over many concatenated series in lockstep (see module doc).
 
@@ -89,7 +96,8 @@ def _holt_lockstep(
         return s_y, b_y
     x = np.ascontiguousarray(x, dtype=np.float64)
     phi = 1.0 - alpha
-    gamma = 1.0 - beta
+    gd = (1.0 - beta) * damping
+    d = damping
     lens = np.diff(np.append(starts, n))
     g = lens.size
     bounds = np.append(starts, n)
@@ -102,7 +110,8 @@ def _holt_lockstep(
         for i in range(g):
             seg = x[bounds[i] : bounds[i + 1]]
             so, bo = _holt_scalar(
-                seg, alpha, beta, carry=carry if i == 0 else None
+                seg, alpha, beta, carry=carry if i == 0 else None,
+                damping=damping,
             )
             s_y[bounds[i] : bounds[i + 1]] = so
             b_y[bounds[i] : bounds[i + 1]] = bo
@@ -125,8 +134,8 @@ def _holt_lockstep(
     if carry is not None:
         cont = int(np.nonzero(order == 0)[0][0])
         cs, cb = carry
-        s0 = alpha * x[starts[0]] + phi * (cs + cb)
-        b_acc[cont] = beta * (s0 - cs) + gamma * cb
+        s0 = alpha * x[starts[0]] + phi * (cs + d * cb)
+        b_acc[cont] = beta * (s0 - cs) + gd * cb
         s_acc[cont] = s0
     S[:, 0] = s_acc
     B[:, 0] = b_acc
@@ -136,9 +145,9 @@ def _holt_lockstep(
         c = int(np.searchsorted(neg, -t, side="left"))
         s_prev = s_acc[:c]
         b = b_acc[:c]
-        # s' = alpha*x + phi*(s + b) — A holds alpha*x precomputed
-        s_new = A[:c, t] + phi * (s_prev + b)
-        b *= gamma
+        # s' = alpha*x + phi*(s + d*b) — A holds alpha*x precomputed
+        s_new = A[:c, t] + phi * (s_prev + d * b)
+        b *= gd
         b += beta * (s_new - s_prev)
         s_acc[:c] = s_new
         S[:c, t] = s_new
@@ -163,13 +172,20 @@ def holt(
     level_col: str = "level_value",
     trend_col: str = "trend_value",
     tiebreak_col: str | None = None,
+    damping: float = 1.0,
 ) -> DataFrame:
     """Append Holt level and trend per key, ordered by
-    (ts_col, tiebreak_col)."""
+    (ts_col, tiebreak_col).  ``damping`` in (0, 1] runs the
+    Gardner-McKenzie damped-trend variant (1.0 = classic Holt,
+    bit-unchanged); damped forecasts flatten toward
+    s + b*(d + d^2 + ...) instead of extrapolating linearly forever —
+    the default in most production forecast stacks."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
     if not 0.0 <= beta <= 1.0:
         raise ValueError("beta must be in [0, 1]")
+    if not 0.0 < damping <= 1.0:
+        raise ValueError("damping must be in (0, 1]")
     from pyspark.sql.types import DoubleType, StructType
 
     cols = [f.name for f in df.schema.fields if f.name not in (level_col, trend_col)]
@@ -193,7 +209,9 @@ def holt(
             x = pdf[value_col].to_numpy(dtype=np.float64)
             starts = np.append(0, 1 + np.flatnonzero(keys[1:] != keys[:-1]))
             c = carry if carry is not None and keys[0] == carry_key else None
-            s_y, b_y = _holt_lockstep(x, starts, alpha, beta, carry=c)
+            s_y, b_y = _holt_lockstep(
+                x, starts, alpha, beta, carry=c, damping=damping
+            )
             carry_key = keys[-1]
             carry = (float(s_y[-1]), float(b_y[-1]))
             pdf = pdf.copy(deep=False)
