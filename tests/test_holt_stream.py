@@ -91,3 +91,53 @@ def test_stream_equals_batch_and_forecasts_trend(spark, tmp_path):
     lvl, trend, fc = got[last]
     assert abs(trend - 2.0) < 0.5
     assert fc == lvl + trend
+
+
+def test_damped_stream_equals_damped_batch(spark, tmp_path):
+    from tsclust_spark.operators.holt import holt
+    from tsclust_spark.streaming.holt_stream import holt_stream
+
+    in_dir, ckpt = str(tmp_path / "din"), str(tmp_path / "dckpt")
+    rows = [
+        (u, T0 + dt.timedelta(seconds=60 * i), float(RNG.normal(10, 2)))
+        for u in (1, 2)
+        for i in range(30)
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        holt_stream(stream, alpha=0.3, beta=0.2, damping=0.9)
+        .writeStream.format("memory")
+        .queryName("holt_damped_mem")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], int(r["ts"].timestamp())): (
+            r["level_value"],
+            r["trend_value"],
+        )
+        for r in spark.sql("SELECT * FROM holt_damped_mem").collect()
+    }
+    expect = {
+        (r["user_id"], int(r["ts"].timestamp())): (
+            r["level_value"],
+            r["trend_value"],
+        )
+        for r in holt(
+            spark.createDataFrame(rows, SCHEMA),
+            alpha=0.3,
+            beta=0.2,
+            damping=0.9,
+        ).collect()
+    }
+    assert got == expect  # bit-identical recurrence

@@ -48,9 +48,15 @@ OUT_SCHEMA = T.StructType(
 )
 
 
-def _make_step(alpha: float, beta: float, tiebreak_col: str | None = None):
+def _make_step(
+    alpha: float,
+    beta: float,
+    tiebreak_col: str | None = None,
+    damping: float = 1.0,
+):
     phi = 1.0 - alpha
-    gamma = 1.0 - beta
+    gd = (1.0 - beta) * damping
+    d = damping
 
     def step(
         key: Tuple,
@@ -77,14 +83,14 @@ def _make_step(alpha: float, beta: float, tiebreak_col: str | None = None):
                     s, b = x, 0.0
                     have_state = True
                 else:
-                    s_new = alpha * x + phi * (s + b)
-                    b = beta * (s_new - s) + gamma * b
+                    s_new = alpha * x + phi * (s + d * b)
+                    b = beta * (s_new - s) + gd * b
                     s = s_new
                 if not late:
                     last_ts = ts
                 out_s.append(s)
                 out_b.append(b)
-                out_f.append(s + b)
+                out_f.append(s + d * b)
                 out_late.append(late)
             pdf = pdf.assign(
                 user_id=key[0],
@@ -108,15 +114,22 @@ def holt_stream(
     beta: float,
     timeout: str = "NoTimeout",
     tiebreak_col: str | None = None,
+    damping: float = 1.0,
 ) -> DataFrame:
     """Apply the stateful Holt recurrence to a streaming DataFrame of
-    ``(user_id long, ts timestamp, value double)``."""
+    ``(user_id long, ts timestamp, value double)``.  ``damping`` < 1
+    runs the Gardner-McKenzie damped variant, batch-identical to
+    ``operators.holt.holt(damping=...)``; ``forecast_1`` becomes the
+    damped one-step forecast ``s + d*b`` (at d=1 both are the classic
+    forms, bit-unchanged)."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
     if not 0.0 <= beta <= 1.0:
         raise ValueError("beta must be in [0, 1]")
+    if not 0.0 < damping <= 1.0:
+        raise ValueError("damping must be in (0, 1]")
     return points.groupBy("user_id").applyInPandasWithState(
-        _make_step(alpha, beta, tiebreak_col=tiebreak_col),
+        _make_step(alpha, beta, tiebreak_col=tiebreak_col, damping=damping),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
