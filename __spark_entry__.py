@@ -5843,6 +5843,74 @@ FROM rec
 """
 
 
+def _q_regime_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Studentized residuals against each binseg regime's own OLS
+    line (operators/changepoint.py::regime_anomalies, z >= 2): step
+    changes absorbed by the segmentation, drift by the slope — only
+    genuine regime-relative surprises flag.  Oracle steps the same
+    relabel + moment + join tree."""
+    from tsclust_spark.operators.changepoint import regime_anomalies
+
+    ra = regime_anomalies(
+        _load(spark, sf_dir, "events"), depth=2, z_thresh=2.0
+    )
+    return ra.select(
+        "key",
+        "segment",
+        "bucket",
+        _sround("v", 6).alias("v"),
+        _sround("fitted", 6).alias("fitted"),
+        _sround("resid_z", 6).alias("resid_z"),
+    )
+
+
+_SQL_REGIME_ANOMALIES = f"""
+WITH tier0 AS (
+  SELECT CAST(event_type AS VARCHAR) AS key, '' AS seg,
+         date_trunc('day', ts) AS bucket, avg(value) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+),
+{_sql_binseg_level('tier0', 'rbest0')[1:]},
+{_sql_binseg_relabel('tier0', 'rbest0', 'rt1')[1:]},
+{_sql_binseg_level('rt1', 'rbest1')[1:]},
+{_sql_binseg_relabel('rt1', 'rbest1', 'rt2')[1:]},
+rxv AS (
+  SELECT key, seg, bucket, v,
+         CAST(date_diff('day', TIMESTAMP '1970-01-01', bucket)
+              AS DOUBLE) AS x
+  FROM rt2
+),
+rmom AS (
+  SELECT key, seg, count(*) AS n, sum(x) AS sx, sum(v) AS sv,
+         sum(x * v) AS sxv, sum(x * x) AS sxx, sum(v * v) AS svv
+  FROM rxv GROUP BY 1, 2
+),
+rfit AS (
+  SELECT key, seg, n,
+         (n * sxv - sx * sv) / (n * sxx - sx * sx) AS slope,
+         sv / n AS mv, sx / n AS mx,
+         sqrt(greatest(0.0,
+           (svv - sv * sv / n
+            - ((n * sxv - sx * sv) / (n * sxx - sx * sx))
+              * ((n * sxv - sx * sv) / (n * sxx - sx * sx))
+              * (sxx - sx * sx / n)) / (n - 2))) AS rstd
+  FROM rmom WHERE n >= 4 AND n * sxx - sx * sx <> 0
+),
+z AS (
+  SELECT t.key, t.seg, t.bucket, t.v,
+         f.mv + f.slope * (t.x - f.mx) AS fitted,
+         (t.v - (f.mv + f.slope * (t.x - f.mx))) / f.rstd AS resid_z
+  FROM rxv t JOIN rfit f ON t.key = f.key AND t.seg = f.seg
+  WHERE f.rstd > 0
+)
+SELECT key, seg AS segment, bucket,
+       {_sql_round('v', 6)} AS v,
+       {_sql_round('fitted', 6)} AS fitted,
+       {_sql_round('resid_z', 6)} AS resid_z
+FROM z WHERE abs(resid_z) >= 2.0
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -5890,6 +5958,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters_mul": _q_holt_winters_mul,
         "hw_forecast_12": _q_hw_forecast,
         "holt_damped": _q_holt_damped,
+        "regime_anomalies": _q_regime_anomalies,
     }
 
 
@@ -5934,6 +6003,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "holt_winters_mul": _SQL_HOLT_WINTERS_MUL,
         "hw_forecast_12": _SQL_HW_FORECAST,
         "holt_damped": _SQL_HOLT_DAMPED,
+        "regime_anomalies": _SQL_REGIME_ANOMALIES,
     }
 
 

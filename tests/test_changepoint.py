@@ -165,3 +165,29 @@ def test_piecewise_trend_unsplit_key_is_one_segment(spark):
     assert out[0]["segment"] == ""
     assert out[0]["slope_per_day"] == pytest.approx(3.0, abs=1e-9)
     assert out[0]["intercept"] == pytest.approx(5.0, abs=1e-9)
+
+
+@pytest.mark.spark
+def test_regime_anomalies_flag_outlier_not_step(spark):
+    from tsclust_spark.operators.changepoint import regime_anomalies
+
+    t0 = datetime(2024, 1, 1)
+    rng = __import__("numpy").random.default_rng(8)
+    # regime 1: level 10 (d0-14); regime 2: level 100 (d15-29);
+    # one glitch inside regime 1 at day 7
+    vals = [10.0 + float(rng.normal(0, 0.5)) for _ in range(15)] + [
+        100.0 + float(rng.normal(0, 0.5)) for _ in range(15)
+    ]
+    vals[7] = 25.0  # regime-relative outlier, globally unremarkable
+    rows = [
+        ("a", t0 + timedelta(days=d), v) for d, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = regime_anomalies(df, depth=1, z_thresh=3.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["bucket"] == datetime(2024, 1, 8)  # day 7
+    assert r["segment"] == "L"
+    assert abs(r["resid_z"]) > 3.0
+    # the step itself (day 15) must NOT flag: it founded its own regime
+    assert all(x["bucket"] != datetime(2024, 1, 16) for x in out)

@@ -537,6 +537,13 @@ NOTES = {
         "tier-scale stages, zero Python; the quantized argmax makes "
         "every child segment label engine-exact."
     ),
+    "regime_anomalies": (
+        "The piecewise stages plus ONE broadcast join of the "
+        "per-segment fit (segment-count rows) back onto the tier and "
+        "a codegen residual projection. Step changes are absorbed by "
+        "the segmentation, drift by the slope — only regime-relative "
+        "surprises survive the z filter."
+    ),
     "holt_damped": (
         "Identical single-Exchange lockstep plan to holt_events; the "
         "damping factor folds into the per-step elementwise ops (and "

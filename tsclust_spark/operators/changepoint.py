@@ -338,3 +338,91 @@ def piecewise_trend(
             (F.col("sv") / n).alias("mean_v"),
         )
     )
+
+
+def regime_anomalies(
+    df: DataFrame,
+    depth: int = 2,
+    min_seg: int = 4,
+    z_thresh: float = 3.0,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    rank_decimals: int = 6,
+) -> DataFrame:
+    """Anomalies AGAINST THE REGIME, not the global distribution:
+    studentized OLS residuals per binseg segment — ``(key, segment,
+    bucket, v, fitted, resid_z)`` for tier buckets with
+    ``|resid_z| >= z_thresh``.
+
+    A global z-score flags every point of a new regime as anomalous
+    forever; detrending against the per-segment line flags only what
+    deviates from ITS OWN regime — the step change is absorbed by the
+    segmentation, the drift by the slope, and what remains is the
+    actual surprise.  The missing composition between the change-point
+    family and the z-score family.
+
+    Engine shape: the piecewise fit's stages plus ONE broadcast join
+    of the per-segment fit (segment-count rows) back onto the tier
+    and a codegen residual projection.  ``resid_z`` uses the
+    segment's own OLS residual std (SSE/(n-2)); segments with n < 4
+    or zero residual variance produce no anomaly rows (z undefined;
+    engines disagree on 0/0).
+    """
+    tier = _seg_tier(df, key_col, ts_col, value_col)
+    tier, _ = _binseg_labels(
+        tier, depth, min_seg, rank_decimals, keep_unsplit=True
+    )
+    d_idx = F.datediff(
+        F.col("bucket"), F.lit("1970-01-01").cast("date")
+    ).cast("double")
+    xv = tier.withColumn("x", d_idx)
+    mom = xv.groupBy("key", "seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("x") * F.col("v")).alias("sxv"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    n = F.col("n")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxv") - F.col("sx") * F.col("sv")) / den
+    # SSE = (svv - sv^2/n) - slope^2 * (sxx - sx^2/n); resid var on
+    # n-2 dof — the same moment discipline as piecewise_trend
+    sse = (
+        F.col("svv")
+        - F.col("sv") * F.col("sv") / n
+        - slope * slope * (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+    )
+    fit = (
+        mom.filter((n >= 4) & (den != 0.0))
+        .select(
+            "key",
+            "seg",
+            n.alias("_n"),
+            slope.alias("_slope"),
+            (F.col("sv") / n).alias("_mv"),
+            (F.col("sx") / n).alias("_mx"),
+            F.sqrt(
+                F.greatest(F.lit(0.0), sse / (n - 2))
+            ).alias("_rstd"),
+        )
+        .filter(F.col("_rstd") > 0.0)
+    )
+    joined = xv.join(F.broadcast(fit), ["key", "seg"])
+    fitted = F.col("_mv") + F.col("_slope") * (F.col("x") - F.col("_mx"))
+    z = (F.col("v") - fitted) / F.col("_rstd")
+    return (
+        joined.withColumn("fitted", fitted)
+        .withColumn("resid_z", z)
+        .filter(F.abs(F.col("resid_z")) >= z_thresh)
+        .select(
+            "key",
+            F.col("seg").alias("segment"),
+            "bucket",
+            "v",
+            "fitted",
+            "resid_z",
+        )
+    )
