@@ -89,3 +89,54 @@ def test_stream_equals_batch_with_seasonal_ring(spark, tmp_path):
     assert set(got) == set(expect)
     for k in expect:
         assert got[k] == expect[k], k  # bit-identical incl. seasonal
+
+
+def test_multiplicative_stream_equals_batch(spark, tmp_path):
+    from tsclust_spark.operators.holtwinters import holt_winters
+    from tsclust_spark.streaming.holtwinters_stream import (
+        holt_winters_stream,
+    )
+
+    in_dir, ckpt = str(tmp_path / "min"), str(tmp_path / "mckpt")
+    rows = [
+        (u, T0 + dt.timedelta(seconds=60 * i),
+         float(abs(RNG.normal(50, 5)) + 1.0))
+        for u in (1, 2)
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        holt_winters_stream(
+            stream, 0.5, 0.25, 0.5, period=7, multiplicative=True
+        )
+        .writeStream.format("memory")
+        .queryName("hwm_mem")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], int(r["ts"].timestamp())): (
+            r["level_value"], r["trend_value"], r["seasonal_value"],
+        )
+        for r in spark.sql("SELECT * FROM hwm_mem").collect()
+    }
+    expect = {
+        (r["user_id"], int(r["ts"].timestamp())): (
+            r["level_value"], r["trend_value"], r["seasonal_value"],
+        )
+        for r in holt_winters(
+            spark.createDataFrame(rows, SCHEMA),
+            0.5, 0.25, 0.5, period=7, multiplicative=True,
+        ).collect()
+    }
+    assert got == expect  # bit-identical ratio recurrence

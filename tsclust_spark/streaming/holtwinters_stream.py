@@ -56,10 +56,12 @@ def _make_step(
     gamma: float,
     m: int,
     tiebreak_col: str | None = None,
+    multiplicative: bool = False,
 ):
     phi = 1.0 - alpha
     psi = 1.0 - beta
     delta = 1.0 - gamma
+    neutral = 1.0 if multiplicative else 0.0
 
     def step(
         key: Tuple,
@@ -84,24 +86,31 @@ def _make_step(
             ):
                 late = have_state and ts < last_ts
                 if not have_state:
-                    s, b, c = x, 0.0, 0.0
-                    ring = [0.0]
+                    s, b, c = x, 0.0, neutral
+                    ring = [neutral]
                     have_state = True
                 else:
-                    c_prev = ring.pop(0) if len(ring) >= m else 0.0
+                    c_prev = ring.pop(0) if len(ring) >= m else neutral
                     s_prev = s
                     b_prev = b
-                    s = alpha * (x - c_prev) + phi * (s_prev + b_prev)
-                    b = beta * (s - s_prev) + psi * b_prev
-                    c = gamma * (x - s_prev - b_prev) + delta * c_prev
+                    if multiplicative:
+                        s = alpha * (x / c_prev) + phi * (s_prev + b_prev)
+                        b = beta * (s - s_prev) + psi * b_prev
+                        c = gamma * (x / (s_prev + b_prev)) + delta * c_prev
+                    else:
+                        s = alpha * (x - c_prev) + phi * (s_prev + b_prev)
+                        b = beta * (s - s_prev) + psi * b_prev
+                        c = gamma * (x - s_prev - b_prev) + delta * c_prev
                     ring.append(c)
                 if not late:
                     last_ts = ts
-                c_next = ring[0] if len(ring) >= m else 0.0
+                c_next = ring[0] if len(ring) >= m else neutral
                 out_s.append(s)
                 out_b.append(b)
                 out_c.append(c)
-                out_f.append(s + b + c_next)
+                out_f.append(
+                    (s + b) * c_next if multiplicative else s + b + c_next
+                )
                 out_late.append(late)
             pdf = pdf.assign(
                 user_id=key[0],
@@ -128,9 +137,13 @@ def holt_winters_stream(
     period: int,
     timeout: str = "NoTimeout",
     tiebreak_col: str | None = None,
+    multiplicative: bool = False,
 ) -> DataFrame:
     """Apply the stateful Holt-Winters recurrence to a streaming
-    DataFrame of ``(user_id long, ts timestamp, value double)``."""
+    DataFrame of ``(user_id long, ts timestamp, value double)``.
+    ``multiplicative=True`` runs the ratio-seasonal form,
+    batch-identical to ``holt_winters(multiplicative=True)``
+    (positive series only); ``forecast_1`` becomes (s+b)*c_next."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
     if not 0.0 <= beta <= 1.0:
@@ -140,7 +153,8 @@ def holt_winters_stream(
     if period < 2:
         raise ValueError("period must be >= 2 points")
     return points.groupBy("user_id").applyInPandasWithState(
-        _make_step(alpha, beta, gamma, period, tiebreak_col=tiebreak_col),
+        _make_step(alpha, beta, gamma, period, tiebreak_col=tiebreak_col,
+                   multiplicative=multiplicative),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
