@@ -5911,6 +5911,70 @@ FROM z WHERE abs(resid_z) >= 2.0
 """
 
 
+def _q_decompose_mul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative decomposition, period=7, per positive
+    user series (operators/decompose.py::decompose_multiplicative):
+    ratio detrend, product-normalized slot profile; the oracle steps
+    the identical frames with divisions in the same tree."""
+    from tsclust_spark.operators.decompose import decompose_multiplicative
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter(
+            (F.col("user_id") <= 30)
+            & F.col("value").isNotNull()
+            & (F.col("value") > 0)
+        )
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = decompose_multiplicative(
+        ev, period=7, key_col="user_id", ts_col="ts",
+        value_col="value", tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        _sround("trend", 6).alias("trend"),
+        _sround("seasonal", 6).alias("seasonal"),
+        _sround("residual", 6).alias("residual"),
+    )
+
+
+_SQL_DECOMPOSE_MUL = f"""
+WITH pts AS (
+  SELECT user_id, event_id, ts, value FROM events
+  WHERE user_id <= 30 AND value IS NOT NULL AND value > 0
+),
+base AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER w - 1 AS pos,
+         CASE WHEN count(*) OVER wma = 7
+              THEN avg(value) OVER wma END AS trend
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         wma AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+prof AS (
+  SELECT user_id, pos % 7 AS slot, avg(value / trend) AS slot_mean
+  FROM base GROUP BY user_id, pos % 7
+),
+centered AS (
+  SELECT user_id, slot,
+         slot_mean / avg(slot_mean) OVER (PARTITION BY user_id)
+           AS seasonal
+  FROM prof
+)
+SELECT b.user_id, b.event_id, b.value,
+       {_sql_round('b.trend', 6)} AS trend,
+       {_sql_round('c.seasonal', 6)} AS seasonal,
+       {_sql_round('b.value / (b.trend * c.seasonal)', 6)} AS residual
+FROM base b
+LEFT JOIN centered c ON b.user_id = c.user_id AND b.pos % 7 = c.slot
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -5959,6 +6023,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hw_forecast_12": _q_hw_forecast,
         "holt_damped": _q_holt_damped,
         "regime_anomalies": _q_regime_anomalies,
+        "decompose_mul_events": _q_decompose_mul,
     }
 
 
@@ -6004,6 +6069,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "hw_forecast_12": _SQL_HW_FORECAST,
         "holt_damped": _SQL_HOLT_DAMPED,
         "regime_anomalies": _SQL_REGIME_ANOMALIES,
+        "decompose_mul_events": _SQL_DECOMPOSE_MUL,
     }
 
 

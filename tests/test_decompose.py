@@ -106,3 +106,46 @@ def test_multiple_series_independent(spark):
         if r["trend"] is not None:
             assert r["trend"] == 50.0 and abs(r["residual"]) < 1e-12
         assert abs(r["seasonal"]) < 1e-12
+
+
+@pytest.mark.spark
+def test_multiplicative_recovers_planted_ratio_components(spark):
+    from tsclust_spark.operators.decompose import decompose_multiplicative
+
+    t0 = dt.datetime(2024, 1, 1)
+    season = np.array([0.6, 1.4, 0.8, 1.2, 1.0, 0.9, 1.1])
+    n = 140
+    rows = [
+        (1, i, t0 + dt.timedelta(hours=i),
+         float((100.0 + 0.2 * i) * season[i % 7]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts", "value"]
+    )
+    out = decompose_multiplicative(
+        df, period=7, tiebreak_col="event_id"
+    ).collect()
+    mid = [r for r in out if r["trend"] is not None]
+    assert len(mid) == n - 6  # edges NULL, classical definition
+    for r in mid:
+        i = r["event_id"]
+        # trend ~ the level line, seasonal ~ the planted ratio,
+        # residual ~ 1 (MA over a ratio series has small wiggle)
+        assert r["trend"] == pytest.approx(100.0 + 0.2 * i, rel=0.06)
+        assert r["seasonal"] == pytest.approx(
+            float(season[i % 7]), rel=0.05
+        )
+        assert r["residual"] == pytest.approx(1.0, rel=0.1)
+
+
+@pytest.mark.spark
+def test_multiplicative_rejects_even_period(spark):
+    from tsclust_spark.operators.decompose import decompose_multiplicative
+
+    df = spark.createDataFrame(
+        [(1, 0, dt.datetime(2024, 1, 1), 1.0)],
+        ["user_id", "event_id", "ts", "value"],
+    )
+    with pytest.raises(ValueError):
+        decompose_multiplicative(df, period=4)

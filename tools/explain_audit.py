@@ -537,6 +537,12 @@ NOTES = {
         "tier-scale stages, zero Python; the quantized argmax makes "
         "every child segment label engine-exact."
     ),
+    "decompose_mul_events": (
+        "Identical plan to the additive decomposition (one Exchange "
+        "serving the centered-MA window AND the slot aggregate, "
+        "broadcast profile join back); only the detrend/renormalize "
+        "arithmetic is ratios instead of differences."
+    ),
     "regime_anomalies": (
         "The piecewise stages plus ONE broadcast join of the "
         "per-segment fit (segment-count rows) back onto the tier and "

@@ -98,7 +98,7 @@ DEFAULT_QUERIES = [
     "event_transitions", "transition_entropy", "funnel_latency",
     "common_paths_3", "changepoint_binseg", "piecewise_trend",
     "cms_heavy_hitters", "holt_winters_mul", "hw_forecast_12",
-    "holt_damped", "regime_anomalies",
+    "holt_damped", "regime_anomalies", "decompose_mul_events",
 ]
 
 

@@ -81,3 +81,71 @@ def decompose_additive(
         )
         .drop("_pos", "_n_in", "_slot", "_detr")
     )
+
+
+def decompose_multiplicative(
+    df: DataFrame,
+    period: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Classical MULTIPLICATIVE decomposition:
+
+        value = trend * seasonal * residual
+
+    - ``trend``: the same centered moving average (odd period);
+    - ``seasonal``: per-slot mean of the DETRENDED RATIO ``v/trend``,
+      normalized by the mean of slot means so the seasonal factors
+      average to ~1 over one cycle (the level stays with the trend);
+    - ``residual``: ``v / (trend * seasonal)`` — ~1 where the model
+      fits, the anomaly-hunting ground as a ratio.
+
+    The ratio twin of :func:`decompose_additive`, paired with
+    multiplicative Holt-Winters: use it when seasonal amplitude grows
+    with the level.  Only defined for positive series (filter
+    ``value > 0`` upstream, as the driver gate does); a zero trend
+    or slot mean would make the ratios blow up — the textbook
+    constraint.
+
+    Same plan shape as the additive variant: one Exchange on the key
+    serves the centered-MA window and the slot aggregate; the slot
+    profile joins back broadcast; zero Python.
+    """
+    if period < 3 or period % 2 == 0:
+        raise ValueError("period must be odd and >= 3")
+    half = period // 2
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w_ord = Window.partitionBy(key_col).orderBy(*order)
+    w_ma = w_ord.rowsBetween(-half, half)
+    base = (
+        df.withColumn("_pos", F.row_number().over(w_ord) - F.lit(1))
+        .withColumn("_n_in", F.count(F.lit(1)).over(w_ma))
+        .withColumn(
+            "trend",
+            F.when(
+                F.col("_n_in") == period, F.avg(value_col).over(w_ma)
+            ),
+        )
+        .withColumn("_slot", F.col("_pos") % period)
+        .withColumn("_ratio", F.col(value_col) / F.col("trend"))
+    )
+    prof = base.groupBy(key_col, "_slot").agg(
+        F.avg("_ratio").alias("_slot_mean")
+    )
+    centered = prof.withColumn(
+        "seasonal",
+        F.col("_slot_mean")
+        / F.avg("_slot_mean").over(Window.partitionBy(key_col)),
+    ).select(key_col, "_slot", "seasonal")
+    return (
+        base.join(F.broadcast(centered), [key_col, "_slot"], "left")
+        .withColumn(
+            "residual",
+            F.col(value_col) / (F.col("trend") * F.col("seasonal")),
+        )
+        .drop("_pos", "_n_in", "_slot", "_ratio")
+    )
