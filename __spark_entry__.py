@@ -5975,6 +5975,123 @@ LEFT JOIN centered c ON b.user_id = c.user_id AND b.pos % 7 = c.slot
 """
 
 
+def _q_self_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key self-drift: KS distance between each key's first and
+    second half (operators/integrity.py::self_drift_ks), split at the
+    integer-microsecond midpoint — slow distribution walk-away that
+    per-point gates never flag."""
+    from tsclust_spark.operators.integrity import self_drift_ks
+
+    sd = self_drift_ks(_load(spark, sf_dir, "events"))
+    return sd.select(
+        "key", "n_a", "n_b",
+        _sround("ks_d", 6).alias("ks_d"),
+        "drifted",
+    )
+
+
+_SQL_SELF_DRIFT_KS = f"""
+WITH pts AS (
+  SELECT CAST(event_type AS VARCHAR) AS key, epoch_us(ts) AS us,
+         value AS v
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT key,
+         min(us) + CAST(floor((max(us) - min(us)) / 2) AS BIGINT)
+           AS mid
+  FROM pts GROUP BY key
+),
+h AS (
+  SELECT p.key, p.v, p.us <= b.mid AS in_a
+  FROM pts p JOIN b ON p.key = b.key
+),
+c AS (
+  SELECT key, v,
+         sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS cb
+  FROM h GROUP BY 1, 2
+),
+cum AS (
+  SELECT key,
+         sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+         sum(ca) OVER (PARTITION BY key) AS n_a,
+         sum(cb) OVER (PARTITION BY key) AS n_b
+  FROM c
+  WINDOW w AS (PARTITION BY key ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+f AS (
+  SELECT key, CAST(max(n_a) AS BIGINT) AS n_a,
+         CAST(max(n_b) AS BIGINT) AS n_b,
+         floor(max(abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+               * 1000000.0 + 0.5) / 1000000.0 AS ks_d
+  FROM cum GROUP BY key
+)
+SELECT key, n_a, n_b, {_sql_round('ks_d', 6)} AS ks_d,
+       ks_d > 0.1 AS drifted
+FROM f WHERE n_a >= 8 AND n_b >= 8
+"""
+
+
+def _q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit screen per key
+    (operators/integrity.py::benford_digits): digit shares +
+    chi-square against log10(1 + 1/d) — the forensic/synthetic-data
+    detector; both engines evaluate the identical double tree for the
+    digit and the statistic."""
+    from tsclust_spark.operators.integrity import benford_digits
+
+    bd = benford_digits(_load(spark, sf_dir, "events"))
+    cols = ["key", "n_points", _sround("chi2", 6).alias("chi2")]
+    cols += [
+        _sround(f"share_{d}", 6).alias(f"share_{d}")
+        for d in range(1, 10)
+    ]
+    return bd.select(*cols)
+
+
+def _sql_benford() -> str:
+    from tsclust_spark.operators.integrity import BENFORD_P
+
+    n_cols = ", ".join(
+        f"sum(CASE WHEN d = {d} THEN 1 ELSE 0 END) AS n_{d}"
+        for d in range(1, 10)
+    )
+    chi_terms = " + ".join(
+        f"(n_{d} - n * {BENFORD_P[d - 1]!r})"
+        f" * (n_{d} - n * {BENFORD_P[d - 1]!r})"
+        f" / (n * {BENFORD_P[d - 1]!r})"
+        for d in range(1, 10)
+    )
+    shares = ", ".join(
+        f"{_sql_round(f'CAST(n_{d} AS DOUBLE) / n', 6)} AS share_{d}"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH b AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         least(greatest(
+           CAST(floor(value / power(10.0, floor(log10(value)))
+                      + 0.000000001) AS INTEGER),
+           1), 9) AS d
+  FROM events WHERE value IS NOT NULL AND value > 0
+),
+per AS (
+  SELECT key, count(*) AS n, {n_cols}
+  FROM b GROUP BY key
+)
+SELECT key, CAST(n AS BIGINT) AS n_points,
+       {_sql_round(chi_terms, 6)} AS chi2,
+       {shares}
+FROM per WHERE n >= 30
+"""
+
+
+_SQL_BENFORD_DIGITS = _sql_benford()
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -6024,6 +6141,8 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_damped": _q_holt_damped,
         "regime_anomalies": _q_regime_anomalies,
         "decompose_mul_events": _q_decompose_mul,
+        "self_drift_ks": _q_self_drift_ks,
+        "benford_digits": _q_benford_digits,
     }
 
 
@@ -6070,6 +6189,8 @@ def queued_oracle_sql() -> dict[str, str]:
         "holt_damped": _SQL_HOLT_DAMPED,
         "regime_anomalies": _SQL_REGIME_ANOMALIES,
         "decompose_mul_events": _SQL_DECOMPOSE_MUL,
+        "self_drift_ks": _SQL_SELF_DRIFT_KS,
+        "benford_digits": _SQL_BENFORD_DIGITS,
     }
 
 

@@ -537,6 +537,19 @@ NOTES = {
         "tier-scale stages, zero Python; the quantized argmax makes "
         "every child segment label engine-exact."
     ),
+    "self_drift_ks": (
+        "Per-key bounds aggregate (broadcast back), exact integer "
+        "midpoint split, per-(key, value) counts, one key-partitioned "
+        "cumulative window for both ECDFs, max aggregate for D. "
+        "Window input is value-cardinality per key — quantize "
+        "upstream at full scale, the ks_statistic discipline."
+    ),
+    "benford_digits": (
+        "Map-only digit expression in codegen -> ONE per-key "
+        "aggregate carrying the nine digit counters as conditional "
+        "sums; chi-square and shares projected from the counters. "
+        "Zero shuffle beyond the key aggregate."
+    ),
     "decompose_mul_events": (
         "Identical plan to the additive decomposition (one Exchange "
         "serving the centered-MA window AND the slot aggregate, "
