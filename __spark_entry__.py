@@ -6092,6 +6092,72 @@ FROM per WHERE n >= 30
 _SQL_BENFORD_DIGITS = _sql_benford()
 
 
+def _q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn survival curve
+    (operators/survival.py::kaplan_meier): properly right-censored
+    lifetimes from the event log, risk set by reverse cumulative sum,
+    product via the exact-enough exp(cumsum(ln)) rewrite."""
+    from tsclust_spark.operators.survival import kaplan_meier
+
+    km = kaplan_meier(_load(spark, sf_dir, "events"))
+    return km.select(
+        "duration_days",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        _sround("survival", 6).alias("survival"),
+    )
+
+
+_SQL_KAPLAN_MEIER = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day
+  FROM events
+),
+span AS (
+  SELECT u, min(day) AS f, max(day) AS l FROM ud GROUP BY u
+),
+e AS (SELECT max(day) AS endd FROM ud),
+life AS (
+  SELECT CAST(date_diff('day', f, l) AS BIGINT) AS duration_days,
+         date_diff('day', l, endd) >= 7 AS ev
+  FROM span, e
+),
+per AS (
+  SELECT duration_days,
+         sum(CASE WHEN ev THEN 1 ELSE 0 END) AS n_events,
+         sum(CASE WHEN ev THEN 0 ELSE 1 END) AS n_censored
+  FROM life GROUP BY 1
+),
+r AS (
+  SELECT *,
+         sum(n_events + n_censored) OVER (
+           ORDER BY duration_days DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM per
+),
+s AS (
+  SELECT *,
+         CASE WHEN max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+                   OVER ws = 1
+              THEN 0.0
+              ELSE exp(sum(CASE WHEN n_events < n_risk
+                           THEN ln(1.0 - CAST(n_events AS DOUBLE)
+                                         / CAST(n_risk AS DOUBLE))
+                           ELSE 0.0 END) OVER ws)
+         END AS survival
+  FROM r
+  WINDOW ws AS (ORDER BY duration_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       {_sql_round('survival', 6)} AS survival
+FROM s
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -6143,6 +6209,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decompose_mul_events": _q_decompose_mul,
         "self_drift_ks": _q_self_drift_ks,
         "benford_digits": _q_benford_digits,
+        "kaplan_meier_churn": _q_kaplan_meier,
     }
 
 
@@ -6191,6 +6258,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "decompose_mul_events": _SQL_DECOMPOSE_MUL,
         "self_drift_ks": _SQL_SELF_DRIFT_KS,
         "benford_digits": _SQL_BENFORD_DIGITS,
+        "kaplan_meier_churn": _SQL_KAPLAN_MEIER,
     }
 
 

@@ -1,0 +1,96 @@
+"""Unit tests: Kaplan-Meier churn survival."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from tsclust_spark.operators.survival import kaplan_meier
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "ts"])
+
+
+T0 = datetime(2024, 1, 1)
+
+
+def _user(uid, first_day, last_day):
+    return [
+        (uid, T0 + timedelta(days=first_day)),
+        (uid, T0 + timedelta(days=last_day)),
+    ]
+
+
+@pytest.mark.spark
+def test_km_textbook_example(spark):
+    # dataset end = day 30 (one active anchor user defines the edge).
+    # u1: duration 5, last day 5  -> gap 25 >= 7 -> EVENT
+    # u2: duration 5, last day 25 -> gap 5 < 7   -> censored
+    # u3: duration 10, last day 10 -> EVENT
+    # u4 (anchor): duration 30, last day 30 -> censored
+    rows = (
+        _user(1, 0, 5)
+        + _user(2, 20, 25)
+        + _user(3, 0, 10)
+        + _user(4, 0, 30)
+    )
+    out = {r["duration_days"]: r for r in kaplan_meier(_mk(spark, rows)).collect()}
+    assert set(out) == {5, 10, 30}
+    # t=5: n_risk 4, events 1, censored 1 -> S = 1 - 1/4 = 0.75
+    assert out[5]["n_risk"] == 4
+    assert out[5]["n_events"] == 1 and out[5]["n_censored"] == 1
+    assert out[5]["survival"] == pytest.approx(0.75)
+    # t=10: at risk 2 (u3, u4), 1 event -> S = 0.75 * (1 - 1/2)
+    assert out[10]["n_risk"] == 2
+    assert out[10]["survival"] == pytest.approx(0.375)
+    # t=30: censored only -> survival unchanged
+    assert out[30]["n_events"] == 0
+    assert out[30]["survival"] == pytest.approx(0.375)
+
+
+@pytest.mark.spark
+def test_km_matches_reference_implementation(spark):
+    rng = np.random.default_rng(14)
+    rows = []
+    end = 60
+    lifes = []
+    for uid in range(40):
+        f = int(rng.integers(0, 30))
+        l = f + int(rng.integers(0, 30))
+        l = min(l, end)
+        rows += _user(uid, f, l)
+        lifes.append((l - f, (end - l) >= 7))
+    # anchor the dataset end
+    rows += [(999, T0 + timedelta(days=end))]
+    lifes.append((0, False))
+
+    got = {
+        r["duration_days"]: r["survival"]
+        for r in kaplan_meier(_mk(spark, rows)).collect()
+    }
+    # pure-python KM with the same conventions
+    from collections import Counter
+
+    ev = Counter(d for d, e in lifes if e)
+    cen = Counter(d for d, e in lifes if not e)
+    times = sorted(set(ev) | set(cen))
+    n_risk = len(lifes)
+    s = 1.0
+    for t in times:
+        d = ev.get(t, 0)
+        s *= 1.0 - d / n_risk
+        assert got[t] == pytest.approx(s, rel=1e-9), t
+        n_risk -= d + cen.get(t, 0)
+
+
+@pytest.mark.spark
+def test_km_everyone_churns_reaches_zero(spark):
+    rows = []
+    for uid in range(5):
+        rows += _user(uid, 0, 3)
+    rows += [(99, T0 + timedelta(days=30))]  # anchor, duration 0 censored...
+    # wait: anchor's last day == end -> censored, duration 0
+    out = {r["duration_days"]: r for r in kaplan_meier(_mk(spark, rows)).collect()}
+    # all 5 duration-3 users churn at t=3; survival after = S(0)* (1 - 5/5) = 0
+    assert out[3]["survival"] == pytest.approx(0.0, abs=1e-12)

@@ -537,6 +537,14 @@ NOTES = {
         "tier-scale stages, zero Python; the quantized argmax makes "
         "every child segment label engine-exact."
     ),
+    "kaplan_meier_churn": (
+        "(user, day) DISTINCT -> per-user span aggregate + 1-row "
+        "dataset-end broadcast -> per-duration event/censor counts "
+        "-> reverse cumulative risk set + forward cumulative "
+        "exp(sum(ln)) product, both on duration-cardinality rows. "
+        "The absorbing d==n case is an explicit flag (Spark log(0) "
+        "is NULL, DuckDB -inf — neither is allowed to decide)."
+    ),
     "self_drift_ks": (
         "Per-key bounds aggregate (broadcast back), exact integer "
         "midpoint split, per-(key, value) counts, one key-partitioned "

@@ -99,7 +99,7 @@ DEFAULT_QUERIES = [
     "common_paths_3", "changepoint_binseg", "piecewise_trend",
     "cms_heavy_hitters", "holt_winters_mul", "hw_forecast_12",
     "holt_damped", "regime_anomalies", "decompose_mul_events",
-    "self_drift_ks", "benford_digits",
+    "self_drift_ks", "benford_digits", "kaplan_meier_churn",
 ]
 
 
