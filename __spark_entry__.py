@@ -6158,6 +6158,61 @@ FROM s
 """
 
 
+def _q_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain after 8
+    power-iteration steps (operators/transitions.py): a fixed-point
+    computed as metadata-scale broadcast joins; the oracle unrolls
+    the identical iterations as chained CTEs."""
+    from tsclust_spark.operators.transitions import stationary_distribution
+
+    sd = stationary_distribution(_load(spark, sf_dir, "events"))
+    return sd.select("etype", _sround("pi", 6).alias("pi"))
+
+
+def _sql_statdist(n_iter: int = 8) -> str:
+    cte = [
+        """bi AS (
+  SELECT lag(CAST(event_type AS VARCHAR)) OVER w AS from_type,
+         CAST(event_type AS VARCHAR) AS to_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)""",
+        """c AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM bi WHERE from_type IS NOT NULL GROUP BY 1, 2
+)""",
+        """P AS (
+  SELECT from_type, to_type,
+         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)
+           AS prob
+  FROM c
+)""",
+        "alpha AS (SELECT DISTINCT from_type AS etype FROM P)",
+        """pi0 AS (
+  SELECT etype, 1.0 / (SELECT count(*) FROM alpha) AS p FROM alpha
+)""",
+    ]
+    for k in range(n_iter):
+        cte.append(f"""pi{k + 1} AS (
+  SELECT etype, p FROM (
+    SELECT P.to_type AS etype, sum(pi{k}.p * P.prob) AS p
+    FROM pi{k} JOIN P ON pi{k}.etype = P.from_type
+    GROUP BY 1
+  ) WHERE etype IN (SELECT etype FROM alpha)
+)""")
+    return (
+        "\nWITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT etype, {_sql_round(f'p / sum(p) OVER ()', 6)} AS pi
+FROM pi{n_iter}
+"""
+    )
+
+
+_SQL_STATIONARY_DISTRIBUTION = _sql_statdist()
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -6210,6 +6265,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "self_drift_ks": _q_self_drift_ks,
         "benford_digits": _q_benford_digits,
         "kaplan_meier_churn": _q_kaplan_meier,
+        "stationary_distribution": _q_stationary_distribution,
     }
 
 
@@ -6259,6 +6315,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "self_drift_ks": _SQL_SELF_DRIFT_KS,
         "benford_digits": _SQL_BENFORD_DIGITS,
         "kaplan_meier_churn": _SQL_KAPLAN_MEIER,
+        "stationary_distribution": _SQL_STATIONARY_DISTRIBUTION,
     }
 
 

@@ -164,3 +164,51 @@ def test_common_paths_sliding_and_rank(spark):
     # ties at count 1 rank by path asc: b>c>a before c>a>b
     assert out["b>c>a"]["rank"] < out["c>a>b"]["rank"]
     assert "x>y" not in out and len(out) == 3
+
+
+@pytest.mark.spark
+def test_stationary_distribution_converges_to_eigenvector(spark):
+    from tsclust_spark.operators.transitions import (
+        stationary_distribution,
+    )
+
+    # two-state chain: a->b always; b->a 1/3, b->b 2/3 (via repeats)
+    # P = [[0, 1], [1/3, 2/3]]; stationary pi = (1/4, 3/4)
+    rows = []
+    eid = 0
+    for u in range(30):
+        seq = ["a", "b", "b", "b", "a", "b", "b", "b"]
+        rows += _seq(1000 + u, seq, eid)
+        eid += 100
+    out = {
+        r["etype"]: r["pi"]
+        for r in stationary_distribution(
+            _mk(spark, rows), n_iter=32
+        ).collect()
+    }
+    # empirical P: from a: always b. from b: count(b->a)/count(b->.)
+    # per seq: b-runs: b,b,b -> transitions b->b x2 then b->a, and
+    # trailing b,b,b ends (no transition). Verify against numpy
+    # power iteration on the EMPIRICAL matrix instead of the ideal.
+    import numpy as np
+
+    # build empirical matrix from the same bigrams
+    from collections import Counter
+
+    big = Counter()
+    for u in range(30):
+        seq = ["a", "b", "b", "b", "a", "b", "b", "b"]
+        for x, y in zip(seq, seq[1:]):
+            big[(x, y)] += 1
+    states = sorted({k[0] for k in big})
+    P = np.zeros((2, 2))
+    for (x, y), n in big.items():
+        P[states.index(x), states.index(y)] = n
+    P = P / P.sum(axis=1, keepdims=True)
+    pi = np.full(2, 0.5)
+    for _ in range(32):
+        pi = pi @ P
+    pi = pi / pi.sum()
+    assert out["a"] == pytest.approx(float(pi[0]), abs=1e-6)
+    assert out["b"] == pytest.approx(float(pi[1]), abs=1e-6)
+    assert sum(out.values()) == pytest.approx(1.0)

@@ -537,6 +537,13 @@ NOTES = {
         "tier-scale stages, zero Python; the quantized argmax makes "
         "every child segment label engine-exact."
     ),
+    "stationary_distribution": (
+        "A fixed-point computed Spark-side: after the one point-scale "
+        "bigram aggregate, each power-iteration step is a broadcast "
+        "join + aggregate over <= |types|^2 rows — n_iter metadata-"
+        "scale stages, the iterative-algorithm pattern without any "
+        "driver-side matrix math."
+    ),
     "kaplan_meier_churn": (
         "(user, day) DISTINCT -> per-user span aggregate + 1-row "
         "dataset-end broadcast -> per-duration event/censor counts "

@@ -155,3 +155,57 @@ def common_paths(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def stationary_distribution(
+    df: DataFrame,
+    n_iter: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Approximate stationary distribution of the event-type Markov
+    chain: ``(etype, pi)`` after ``n_iter`` power-iteration steps
+    ``pi' = pi P`` from the uniform start over the observed
+    FROM-alphabet.
+
+    Where the long-run behavior settles — the chain's own answer to
+    "which state do users actually live in", independent of the
+    empirical visit counts (which mix in entry/exit effects).  For an
+    irreducible aperiodic chain the iteration converges geometrically;
+    n_iter is a FIXED plan constant, so the whole computation is
+    deterministic and SQL-twinnable (the oracle unrolls the same
+    iterations).
+
+    Engine shape: the transition matrix has <= |types|^2 rows
+    (metadata scale), so each iteration is one broadcast join + one
+    tiny aggregate — n_iter metadata-scale stages appended to the one
+    point-scale bigram aggregate.  Mass leaving through absorbing-ish
+    states (to-types never seen as from-types) simply leaves the
+    vector; pi reports unnormalized mass times renormalized at the
+    end so the output always sums to 1 over surviving states.
+    """
+    P = event_transitions(
+        df, user_col, ts_col, type_col, tiebreak_col
+    ).select("from_type", "to_type", "prob")
+    alpha = P.select(F.col("from_type").alias("etype")).distinct()
+    n0 = alpha.count()  # metadata-scale action: |alphabet| rows
+    pi = alpha.withColumn("p", F.lit(1.0) / F.lit(float(n0)))
+    for _ in range(n_iter):
+        pi = (
+            pi.join(
+                F.broadcast(P),
+                pi["etype"] == P["from_type"],
+            )
+            .groupBy(F.col("to_type").alias("etype"))
+            .agg(F.sum(F.col("p") * F.col("prob")).alias("p"))
+            # keep only states that can emit again; their mass
+            # renormalizes at the end
+            .join(F.broadcast(alpha), "etype")
+        )
+    tot = Window.partitionBy()
+    return pi.select(
+        "etype",
+        (F.col("p") / F.sum("p").over(tot)).alias("pi"),
+    )
