@@ -59,3 +59,40 @@ def test_query_matches_oracle_on_hostile_fixture(spark, fuzz_dir, con, name):
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9
     )
+
+
+# Queries whose inputs the hostile fixture deliberately does NOT model:
+# TPC-H relational tables (lineitem/orders/customer/nation families) and
+# kernel-invariant gates over generated sequences/media. Everything else
+# with an oracle MUST be fuzz-listed — this guard catches the silent
+# omission class (the DEFAULT_QUERIES list is hand-maintained).
+FUZZ_EXEMPT = {
+    # TPC-H tables, not in the fuzz dir
+    "lineitem_pricing_summary",
+    "revenue_per_nation",
+    "topk_orders_per_customer",
+    "semi_anti_resume",
+    "parity_diff",
+    # kernel-invariant gates over sequences/media fixtures
+    "cluster_invariants",
+    "dba_identical_recovery",
+    "dtw_pruned_check",
+    "dtw_selfcheck",
+    "frame_sample",
+    "lttb_invariants",
+    "multimodal_invariants",
+}
+
+
+def test_every_oracle_gated_query_is_fuzzed_or_exempt():
+    all_oracle = set(entrymod.oracle_sql()) | set(
+        entrymod.queued_oracle_sql()
+    )
+    missing = all_oracle - set(DEFAULT_QUERIES) - FUZZ_EXEMPT
+    assert not missing, (
+        f"oracle-gated queries missing from tools/fuzz_oracle.py "
+        f"DEFAULT_QUERIES (add them or document an exemption): "
+        f"{sorted(missing)}"
+    )
+    stale = FUZZ_EXEMPT - all_oracle
+    assert not stale, f"stale exemptions: {sorted(stale)}"
