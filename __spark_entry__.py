@@ -6213,6 +6213,86 @@ FROM pi{n_iter}
 _SQL_STATIONARY_DISTRIBUTION = _sql_statdist()
 
 
+def _q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test, early vs late adopters
+    (operators/survival.py::logrank_test): hypergeometric moments
+    over the shared censored lifetimes; exact integers until the
+    final ratios."""
+    from tsclust_spark.operators.survival import logrank_test
+
+    lr = logrank_test(_load(spark, sf_dir, "events"))
+    return lr.select(
+        "n_g0",
+        "n_g1",
+        "observed_g1",
+        _sround("expected_g1", 6).alias("expected_g1"),
+        _sround("variance_g1", 6).alias("variance_g1"),
+        _sround("chi2", 6).alias("chi2"),
+    )
+
+
+_SQL_LOGRANK = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day
+  FROM events
+),
+span AS (
+  SELECT u, min(day) AS f, max(day) AS l FROM ud GROUP BY u
+),
+e AS (SELECT min(day) AS s, max(day) AS endd FROM ud),
+life AS (
+  SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+         date_diff('day', l, endd) >= 7 AS ev,
+         date_diff('day', s, f)
+           <= CAST(floor(date_diff('day', s, endd) / 2) AS BIGINT)
+           AS g1
+  FROM span, e
+),
+per AS (
+  SELECT t, sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d,
+         sum(CASE WHEN ev AND g1 THEN 1 ELSE 0 END) AS d1,
+         count(*) AS leave,
+         sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS leave1
+  FROM life GROUP BY 1
+),
+r AS (
+  SELECT t, d, d1, sum(leave) OVER wr AS n,
+         sum(leave1) OVER wr AS n1
+  FROM per
+  WINDOW wr AS (ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+rr AS (SELECT * FROM r WHERE d > 0),
+a AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS observed_g1,
+         sum(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+             / CAST(n AS DOUBLE)) AS expected_g1,
+         sum(CASE WHEN n > 1 THEN
+               CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0)
+             ELSE 0.0 END) AS variance_g1
+  FROM rr
+),
+sz AS (
+  SELECT sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS n_g0,
+         sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS n_g1
+  FROM life
+)
+SELECT CAST(sz.n_g0 AS BIGINT) AS n_g0,
+       CAST(sz.n_g1 AS BIGINT) AS n_g1,
+       a.observed_g1,
+       {_sql_round('a.expected_g1', 6)} AS expected_g1,
+       {_sql_round('a.variance_g1', 6)} AS variance_g1,
+       {_sql_round('''CASE WHEN a.variance_g1 > 0.0 THEN
+           (CAST(a.observed_g1 AS DOUBLE) - a.expected_g1)
+           * (CAST(a.observed_g1 AS DOUBLE) - a.expected_g1)
+           / a.variance_g1 END''', 6)} AS chi2
+FROM a, sz
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -6266,6 +6346,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": _q_benford_digits,
         "kaplan_meier_churn": _q_kaplan_meier,
         "stationary_distribution": _q_stationary_distribution,
+        "logrank_early_vs_late": _q_logrank,
     }
 
 
@@ -6316,6 +6397,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "benford_digits": _SQL_BENFORD_DIGITS,
         "kaplan_meier_churn": _SQL_KAPLAN_MEIER,
         "stationary_distribution": _SQL_STATIONARY_DISTRIBUTION,
+        "logrank_early_vs_late": _SQL_LOGRANK,
     }
 
 

@@ -94,3 +94,41 @@ def test_km_everyone_churns_reaches_zero(spark):
     out = {r["duration_days"]: r for r in kaplan_meier(_mk(spark, rows)).collect()}
     # all 5 duration-3 users churn at t=3; survival after = S(0)* (1 - 5/5) = 0
     assert out[3]["survival"] == pytest.approx(0.0, abs=1e-12)
+
+
+@pytest.mark.spark
+def test_logrank_null_and_alternative(spark):
+    from pyspark.sql import functions as F
+
+    from tsclust_spark.operators.survival import logrank_test
+
+    rng = np.random.default_rng(21)
+    end = 100
+
+    def cohort(uid0, n, mean_life):
+        rows = []
+        for k in range(n):
+            f = int(rng.integers(0, 20))
+            l = min(f + max(0, int(rng.exponential(mean_life))), end)
+            rows += _user(uid0 + k, f, l)
+        return rows
+
+    # identical survival in both groups -> chi2 small.
+    # group by user-id parity (explicit expr) so the split is clean.
+    rows = cohort(0, 60, 15) + cohort(1000, 60, 15)
+    rows += [(9999, T0 + timedelta(days=end))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    r = logrank_test(df, group_expr=F.col("user") >= 1000).collect()[0]
+    assert r["n_g0"] + r["n_g1"] == 121
+    assert r["chi2"] < 6.0  # null holds (5% line 3.84; allow slack)
+
+    # very different lifetimes -> chi2 large
+    rows2 = cohort(0, 60, 5) + cohort(1000, 60, 40)
+    rows2 += [(9999, T0 + timedelta(days=end))]
+    df2 = spark.createDataFrame(rows2, ["user_id", "ts"])
+    r2 = logrank_test(
+        df2, group_expr=F.col("user") >= 1000
+    ).collect()[0]
+    assert r2["chi2"] > 15.0
+    # moment identities: expected close to observed under the null only
+    assert r2["variance_g1"] > 0

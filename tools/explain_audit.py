@@ -544,6 +544,13 @@ NOTES = {
         "scale stages, the iterative-algorithm pattern without any "
         "driver-side matrix math."
     ),
+    "logrank_early_vs_late": (
+        "The KM lifetime plan with a group dimension: per-duration "
+        "(d, d1, leave, leave1) counts, reverse cumulative risk sets "
+        "for both groups in ONE window pass, hypergeometric moments "
+        "summed duration-scale. Exact integers until the final "
+        "ratios."
+    ),
     "kaplan_meier_churn": (
         "(user, day) DISTINCT -> per-user span aggregate + 1-row "
         "dataset-end broadcast -> per-duration event/censor counts "

@@ -100,7 +100,7 @@ DEFAULT_QUERIES = [
     "cms_heavy_hitters", "holt_winters_mul", "hw_forecast_12",
     "holt_damped", "regime_anomalies", "decompose_mul_events",
     "self_drift_ks", "benford_digits", "kaplan_meier_churn",
-    "stationary_distribution",
+    "stationary_distribution", "logrank_early_vs_late",
 ]
 
 

@@ -117,3 +117,111 @@ def kaplan_meier(
             "survival",
         )
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    group_expr=None,
+    churn_gap_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Two-group log-rank test (Mantel 1966 / Peto & Peto 1972,
+    public literature): do two user segments have the SAME survival
+    curve?  One row ``(n_g0, n_g1, observed_g1, expected_g1,
+    variance_g1, chi2)`` — chi2 ~ chi-square(1) under the null; ~3.84
+    is the 5% line.
+
+    ``group_expr`` is a boolean Column over the per-user span frame
+    — columns ``user``, ``first_day``, ``last_day`` (plus the
+    broadcast ``_start``/``_end`` bounds) — group 1 where true;
+    default: users whose FIRST event day is in the first half of the
+    dataset (early vs late adopters).  Computed
+    from the same censored lifetimes as :func:`kaplan_meier`; at each
+    distinct event time t the hypergeometric moments accumulate
+
+        E1 += d_t * n1_t / n_t
+        V  += d_t * (n1_t/n_t) * (1 - n1_t/n_t) * (n_t - d_t)/(n_t - 1)
+
+    and ``chi2 = (O1 - E1)^2 / V``.  Everything up to the final
+    ratios is exact integer arithmetic over duration-cardinality
+    rows; the engine shape is the KM plan with a group dimension.
+    """
+    ud = (
+        df.select(
+            F.col(user_col).alias("user"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .distinct()
+    )
+    span = ud.groupBy("user").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    ends = ud.agg(
+        F.min("day").alias("_start"), F.max("day").alias("_end")
+    )
+    life = span.join(F.broadcast(ends))
+    if group_expr is None:
+        # early adopters: first activity in the first half of the span
+        mid_days = F.floor(
+            F.datediff("_end", "_start") / F.lit(2)
+        )
+        group_expr = (
+            F.datediff("first_day", "_start") <= mid_days
+        )
+    life = life.select(
+        F.datediff("last_day", "first_day")
+        .cast("long")
+        .alias("t"),
+        (F.datediff("_end", "last_day") >= churn_gap_days).alias("_ev"),
+        group_expr.alias("_g1"),
+    )
+    per_t = life.groupBy("t").agg(
+        F.sum(F.col("_ev").cast("long")).alias("d"),
+        F.sum((F.col("_ev") & F.col("_g1")).cast("long")).alias("d1"),
+        F.count(F.lit(1)).alias("leave"),
+        F.sum(F.col("_g1").cast("long")).alias("leave1"),
+    )
+    w_risk = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per_t.select(
+        "t",
+        "d",
+        "d1",
+        F.sum("leave").over(w_risk).alias("n"),
+        F.sum("leave1").over(w_risk).alias("n1"),
+    ).filter(F.col("d") > 0)
+    nn = F.col("n").cast("double")
+    n1 = F.col("n1").cast("double")
+    dd = F.col("d").cast("double")
+    e1 = dd * n1 / nn
+    v = F.when(
+        F.col("n") > 1,
+        dd * (n1 / nn) * (F.lit(1.0) - n1 / nn)
+        * (nn - dd) / (nn - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    agg = risk.agg(
+        F.sum("d1").cast("long").alias("observed_g1"),
+        F.sum(e1).alias("expected_g1"),
+        F.sum(v).alias("variance_g1"),
+    )
+    sizes = life.agg(
+        F.sum((~F.col("_g1")).cast("long")).alias("n_g0"),
+        F.sum(F.col("_g1").cast("long")).alias("n_g1"),
+    )
+    o1 = F.col("observed_g1").cast("double")
+    chi2 = F.when(
+        F.col("variance_g1") > 0.0,
+        (o1 - F.col("expected_g1"))
+        * (o1 - F.col("expected_g1"))
+        / F.col("variance_g1"),
+    )
+    return agg.join(F.broadcast(sizes)).select(
+        "n_g0",
+        "n_g1",
+        "observed_g1",
+        "expected_g1",
+        "variance_g1",
+        chi2.alias("chi2"),
+    )
