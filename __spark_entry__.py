@@ -6106,6 +6106,7 @@ def _q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "n_censored",
         _sround("survival", 6).alias("survival"),
+        _sround("cum_hazard", 6).alias("cum_hazard"),
     )
 
 
@@ -6153,7 +6154,12 @@ s AS (
 SELECT duration_days, CAST(n_risk AS BIGINT) AS n_risk,
        CAST(n_events AS BIGINT) AS n_events,
        CAST(n_censored AS BIGINT) AS n_censored,
-       {_sql_round('survival', 6)} AS survival
+       {_sql_round('survival', 6)} AS survival,
+       {_sql_round('''sum(CAST(n_events AS DOUBLE)
+                          / CAST(n_risk AS DOUBLE)) OVER (
+                        ORDER BY duration_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)''', 6)} AS cum_hazard
 FROM s
 """
 
@@ -6293,6 +6299,61 @@ FROM a, sz
 """
 
 
+def _q_dominant_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality auto-detection per user series
+    (operators/acf.py::dominant_lag): best candidate lag by quantized
+    ACF, ties to the smallest lag, floor 0.2 — the one-number answer
+    downstream period knobs need."""
+    from tsclust_spark.operators.acf import dominant_lag
+
+    ev = _load(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    dl = dominant_lag(
+        ev,
+        lags=(1, 2, 3, 6, 12),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+    )
+    return dl.select(
+        F.col("key").alias("user_id"),
+        "lag",
+        _sround("acf_value", 6).alias("acf_value"),
+    )
+
+
+_DL_LAGS = (1, 2, 3, 6, 12)
+
+_SQL_DOMINANT_LAG = f"""
+WITH o AS (
+  SELECT user_id, value,
+         {", ".join(f"lag(value, {k}) OVER w AS l{k}" for k in _DL_LAGS)}
+  FROM events
+  WHERE user_id <= 50
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+wide AS (
+  SELECT user_id, {", ".join(_sql_acf_lag(k) for k in _DL_LAGS)}
+  FROM o GROUP BY user_id
+),
+long AS (
+  {" UNION ALL ".join(
+      f"SELECT user_id, {k} AS lag, acf_{k} AS acf_value FROM wide"
+      for k in _DL_LAGS
+  )}
+),
+pick AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY acf_value DESC, lag ASC) AS rn
+  FROM long
+  WHERE acf_value IS NOT NULL AND acf_value >= 0.2
+)
+SELECT user_id, CAST(lag AS INTEGER) AS lag, acf_value
+FROM pick WHERE rn = 1
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -6347,6 +6408,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier_churn": _q_kaplan_meier,
         "stationary_distribution": _q_stationary_distribution,
         "logrank_early_vs_late": _q_logrank,
+        "dominant_lag": _q_dominant_lag,
     }
 
 
@@ -6398,6 +6460,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "kaplan_meier_churn": _SQL_KAPLAN_MEIER,
         "stationary_distribution": _SQL_STATIONARY_DISTRIBUTION,
         "logrank_early_vs_late": _SQL_LOGRANK,
+        "dominant_lag": _SQL_DOMINANT_LAG,
     }
 
 

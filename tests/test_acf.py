@@ -1,7 +1,10 @@
 """ACF operator (operators/acf.py): known-value series, degenerate
 cases, and partitioning invariance."""
 
+import datetime as dt
 import math
+
+import numpy as np
 
 import pyspark.sql.functions as F
 import pytest
@@ -89,3 +92,36 @@ def test_single_exchange_plan(spark):
 
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 1, plan
+
+
+@pytest.mark.spark
+def test_dominant_lag_detects_planted_period(spark):
+    from tsclust_spark.operators.acf import dominant_lag
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    rng = np.random.default_rng(19)
+    rows = []
+    # key 1: strong period-6 cycle; key 2: white noise (no row)
+    for i in range(240):
+        rows.append(
+            (1, i, T0 + dt.timedelta(minutes=i),
+             float(10.0 + 5.0 * np.sin(2 * np.pi * i / 6)
+                   + rng.normal(0, 0.3)))
+        )
+        rows.append(
+            (2, 1000 + i, T0 + dt.timedelta(minutes=i),
+             float(rng.normal(0, 1)))
+        )
+    df = spark.createDataFrame(
+        rows, ["doc_id", "event_id", "ts", "value"]
+    )
+    out = {
+        r["key"]: r
+        for r in dominant_lag(
+            df, lags=(1, 2, 3, 6, 12), tiebreak_col="event_id"
+        ).collect()
+    }
+    assert out[1]["lag"] == 6
+    assert out[1]["acf_value"] > 0.9
+    assert 2 not in out  # noise clears no floor — "no period" = no row

@@ -544,6 +544,12 @@ NOTES = {
         "scale stages, the iterative-algorithm pattern without any "
         "driver-side matrix math."
     ),
+    "dominant_lag": (
+        "The acf plan (shared window sort for every lag column, one "
+        "moment aggregate) plus an inline(struct) unpivot and a "
+        "top-1 window over keys x |lags| rows — metadata scale; "
+        "quantize-before-rank, ties to the smallest lag."
+    ),
     "logrank_early_vs_late": (
         "The KM lifetime plan with a group dimension: per-duration "
         "(d, d1, leave, leave1) counts, reverse cumulative risk sets "

@@ -75,3 +75,63 @@ def acf(
             ).alias(f"acf_{k}")
         )
     return df.groupBy(key_col).agg(*aggs)
+
+
+def dominant_lag(
+    points_df: DataFrame,
+    lags: Sequence[int] = (1, 2, 3, 4, 6, 12, 24),
+    min_acf: float = 0.2,
+    key_col: str = "doc_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+    rank_decimals: int = 6,
+) -> DataFrame:
+    """Seasonality auto-detection: ``(key, lag, acf_value)`` — the
+    candidate lag with the LARGEST autocorrelation per key, when it
+    clears ``min_acf`` (keys with no lag above the floor emit no row:
+    "no detectable period" is an answer, not a row of noise).
+
+    The missing decision layer over :func:`acf`: downstreams
+    (decompose period, Holt-Winters m, seasonal-naive horizon) need
+    ONE lag, not a table of correlations.  Candidate lags are
+    physically motivated (hour/day multiples), the spectral-power
+    discipline.
+
+    Determinism: quantize-before-rank on the acf value, ties to the
+    SMALLEST lag (the most parsimonious period), the tfidf.py rule.
+    Engine shape: the acf plan plus one inline(struct) projection and
+    a top-1 window over keys x |lags| rows — metadata scale.
+    """
+    wide = acf(
+        points_df,
+        lags=lags,
+        key_col=key_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        tiebreak_col=tiebreak_col,
+    )
+    rows = F.inline(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(k)).alias("lag"),
+                    F.col(f"acf_{k}").alias("acf_value"),
+                )
+                for k in lags
+            ]
+        )
+    )
+    long = wide.select(F.col(key_col).alias("key"), rows).filter(
+        F.col("acf_value").isNotNull()
+        & (F.col("acf_value") >= min_acf)
+    )
+    pick = Window.partitionBy("key").orderBy(
+        F.round(F.col("acf_value"), rank_decimals).desc(),
+        F.col("lag").asc(),
+    )
+    return (
+        long.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select("key", "lag", "acf_value")
+    )

@@ -102,6 +102,9 @@ def kaplan_meier(
     dead = F.max(
         (F.col("n_events") == F.col("n_risk")).cast("int")
     ).over(w_surv)
+    # Nelson-Aalen cumulative hazard rides the same window for free:
+    # H(t) = sum_{t_i <= t} d_i / n_i (the additive twin of KM; its
+    # exp(-H) is the Fleming-Harrington survival estimate)
     return (
         at_risk.withColumn(
             "survival",
@@ -109,12 +112,14 @@ def kaplan_meier(
                 F.exp(F.sum(term).over(w_surv))
             ),
         )
+        .withColumn("cum_hazard", F.sum(frac).over(w_surv))
         .select(
             "duration_days",
             F.col("n_risk").cast("long").alias("n_risk"),
             F.col("n_events").cast("long").alias("n_events"),
             F.col("n_censored").cast("long").alias("n_censored"),
             "survival",
+            "cum_hazard",
         )
     )
 
