@@ -6099,7 +6099,11 @@ def _q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     product via the exact-enough exp(cumsum(ln)) rewrite."""
     from tsclust_spark.operators.survival import kaplan_meier
 
-    km = kaplan_meier(_load(spark, sf_dir, "events"))
+    # churn_gap_days=1: the 30-day fixtures have every user active
+    # near the end, so the default 7-day gap yields zero churn events
+    # (survival identically 1 — a degenerate gate); gap 1 produces a
+    # real curve on the same data
+    km = kaplan_meier(_load(spark, sf_dir, "events"), churn_gap_days=1)
     return km.select(
         "duration_days",
         "n_risk",
@@ -6121,7 +6125,7 @@ span AS (
 e AS (SELECT max(day) AS endd FROM ud),
 life AS (
   SELECT CAST(date_diff('day', f, l) AS BIGINT) AS duration_days,
-         date_diff('day', l, endd) >= 7 AS ev
+         date_diff('day', l, endd) >= 1 AS ev
   FROM span, e
 ),
 per AS (
@@ -6226,7 +6230,7 @@ def _q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     final ratios."""
     from tsclust_spark.operators.survival import logrank_test
 
-    lr = logrank_test(_load(spark, sf_dir, "events"))
+    lr = logrank_test(_load(spark, sf_dir, "events"), churn_gap_days=1)
     return lr.select(
         "n_g0",
         "n_g1",
@@ -6248,7 +6252,7 @@ span AS (
 e AS (SELECT min(day) AS s, max(day) AS endd FROM ud),
 life AS (
   SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
-         date_diff('day', l, endd) >= 7 AS ev,
+         date_diff('day', l, endd) >= 1 AS ev,
          date_diff('day', s, f)
            <= CAST(floor(date_diff('day', s, endd) / 2) AS BIGINT)
            AS g1
@@ -6354,6 +6358,96 @@ FROM pick WHERE rn = 1
 """
 
 
+def _q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull-plot fit of the churn survival curve
+    (operators/survival.py::weibull_fit): OLS on (ln t, ln(-ln S))
+    over the unrounded KM interior — two comparable parameters plus
+    the extrapolated median lifetime."""
+    from tsclust_spark.operators.survival import weibull_fit
+
+    wf = weibull_fit(_load(spark, sf_dir, "events"), churn_gap_days=1)
+    return wf.select(
+        "n_points",
+        _sround("shape", 6).alias("shape"),
+        _sround("scale_days", 6).alias("scale_days"),
+        _sround("median_lifetime_days", 6).alias("median_lifetime_days"),
+    )
+
+
+_SQL_WEIBULL_FIT = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day
+  FROM events
+),
+span AS (
+  SELECT u, min(day) AS f, max(day) AS l FROM ud GROUP BY u
+),
+e AS (SELECT max(day) AS endd FROM ud),
+life AS (
+  SELECT CAST(date_diff('day', f, l) AS BIGINT) AS duration_days,
+         date_diff('day', l, endd) >= 1 AS ev
+  FROM span, e
+),
+per AS (
+  SELECT duration_days,
+         sum(CASE WHEN ev THEN 1 ELSE 0 END) AS n_events,
+         sum(CASE WHEN ev THEN 0 ELSE 1 END) AS n_censored
+  FROM life GROUP BY 1
+),
+r AS (
+  SELECT *,
+         sum(n_events + n_censored) OVER (
+           ORDER BY duration_days DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM per
+),
+s AS (
+  SELECT *,
+         CASE WHEN max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+                   OVER ws = 1
+              THEN 0.0
+              ELSE exp(sum(CASE WHEN n_events < n_risk
+                           THEN ln(1.0 - CAST(n_events AS DOUBLE)
+                                         / CAST(n_risk AS DOUBLE))
+                           ELSE 0.0 END) OVER ws)
+         END AS survival
+  FROM r
+  WINDOW ws AS (ORDER BY duration_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+xy AS (
+  SELECT ln(CAST(duration_days AS DOUBLE)) AS x,
+         ln(-ln(survival)) AS y
+  FROM s
+  WHERE duration_days > 0 AND survival > 0.0 AND survival < 1.0
+),
+mom AS (
+  SELECT count(*) AS n_points, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy
+),
+fit AS (
+  SELECT n_points,
+         (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)
+           AS shape,
+         sx, sy
+  FROM mom
+  WHERE n_points >= 3 AND n_points * sxx - sx * sx <> 0
+),
+f2 AS (
+  SELECT n_points, shape,
+         exp(-((sy - shape * sx) / n_points) / shape) AS scale
+  FROM fit
+)
+SELECT CAST(n_points AS BIGINT) AS n_points,
+       {_sql_round('shape', 6)} AS shape,
+       {_sql_round('scale', 6)} AS scale_days,
+       {_sql_round('scale * power(0.6931471805599453, 1.0 / shape)', 6)}
+         AS median_lifetime_days
+FROM f2
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -6409,6 +6503,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stationary_distribution": _q_stationary_distribution,
         "logrank_early_vs_late": _q_logrank,
         "dominant_lag": _q_dominant_lag,
+        "weibull_fit": _q_weibull_fit,
     }
 
 
@@ -6461,6 +6556,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "stationary_distribution": _SQL_STATIONARY_DISTRIBUTION,
         "logrank_early_vs_late": _SQL_LOGRANK,
         "dominant_lag": _SQL_DOMINANT_LAG,
+        "weibull_fit": _SQL_WEIBULL_FIT,
     }
 
 

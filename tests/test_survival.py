@@ -132,3 +132,32 @@ def test_logrank_null_and_alternative(spark):
     assert r2["chi2"] > 15.0
     # moment identities: expected close to observed under the null only
     assert r2["variance_g1"] > 0
+
+
+@pytest.mark.spark
+def test_weibull_fit_recovers_planted_parameters(spark):
+    from tsclust_spark.operators.survival import weibull_fit
+
+    rng = np.random.default_rng(33)
+    shape_true, scale_true = 1.5, 20.0
+    end = 365
+    rows = []
+    for uid in range(400):
+        f = int(rng.integers(0, 60))
+        dur = int(round(float(scale_true * rng.weibull(shape_true))))
+        l = min(f + max(dur, 0), end)
+        rows += _user(uid, f, l)
+    rows += [(9999, T0 + timedelta(days=end))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    r = weibull_fit(df, churn_gap_days=7).collect()[0]
+    # the Weibull-plot OLS over unweighted KM points is a rough
+    # estimator; generous tolerances, but it must land in the
+    # neighborhood and order the quantities correctly
+    assert 1.0 < r["shape"] < 2.2
+    assert 12.0 < r["scale_days"] < 30.0
+    med_true = scale_true * np.log(2) ** (1 / shape_true)
+    assert r["median_lifetime_days"] == pytest.approx(med_true, rel=0.4)
+    # identity: median = scale * ln2^(1/shape) exactly as computed
+    assert r["median_lifetime_days"] == pytest.approx(
+        r["scale_days"] * np.log(2) ** (1 / r["shape"]), rel=1e-9
+    )

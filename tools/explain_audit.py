@@ -550,6 +550,11 @@ NOTES = {
         "top-1 window over keys x |lags| rows — metadata scale; "
         "quantize-before-rank, ties to the smallest lag."
     ),
+    "weibull_fit": (
+        "The KM plan capped by one five-moment OLS aggregate over "
+        "the Weibull-plot coordinates (duration-cardinality rows); "
+        "shape/scale/median projected from moments in codegen."
+    ),
     "logrank_early_vs_late": (
         "The KM lifetime plan with a group dimension: per-duration "
         "(d, d1, leave, leave1) counts, reverse cumulative risk sets "

@@ -230,3 +230,65 @@ def logrank_test(
         "variance_g1",
         chi2.alias("chi2"),
     )
+
+
+def weibull_fit(
+    df: DataFrame,
+    churn_gap_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Parametric Weibull fit to the churn survival curve via the
+    Weibull plot: for S(t) = exp(-(t/scale)^shape),
+
+        ln(-ln S(t)) = shape * ln t - shape * ln scale
+
+    so OLS of y = ln(-ln S) on x = ln t over the Kaplan-Meier curve's
+    interior points (0 < S < 1, t > 0) recovers ``shape`` (the
+    regression slope) and ``scale`` = exp(-intercept/shape).  One row
+    ``(n_points, shape, scale_days, median_lifetime_days)`` —
+    shape < 1 means churn hazard FALLS with tenure (survive the first
+    week and you're safer; the usual SaaS finding), > 1 means wear-out.
+
+    The parametric summary KM cannot give: two numbers to compare
+    across cohorts/products, plus an extrapolated median lifetime
+    ``scale * ln(2)^(1/shape)`` that extends beyond the observation
+    window.  Engine shape: the KM plan (duration-cardinality rows)
+    capped by one five-moment OLS aggregate — the ar1.py algebra.
+    """
+    km = kaplan_meier(
+        df, churn_gap_days=churn_gap_days,
+        user_col=user_col, ts_col=ts_col,
+    )
+    pts = km.filter(
+        (F.col("duration_days") > 0)
+        & (F.col("survival") > 0.0)
+        & (F.col("survival") < 1.0)
+    ).select(
+        F.log(F.col("duration_days").cast("double")).alias("x"),
+        F.log(-F.log("survival")).alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_points")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    shape = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    intercept = (F.col("sy") - shape * F.col("sx")) / n
+    scale = F.exp(-intercept / shape)
+    return (
+        mom.filter((n >= 3) & (den != 0.0))
+        .select(
+            n.cast("long").alias("n_points"),
+            shape.alias("shape"),
+            scale.alias("scale_days"),
+            (
+                scale * F.pow(F.lit(float(__import__("math").log(2.0))),
+                              F.lit(1.0) / shape)
+            ).alias("median_lifetime_days"),
+        )
+    )
