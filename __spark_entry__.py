@@ -6448,6 +6448,58 @@ FROM f2
 """
 
 
+def _q_burst_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg burst detection structural gate
+    (operators/bursts.py): per key, every detected interval must be
+    ordered, disjoint, inside the key's observed span, and cover >=
+    min_gaps gaps — emitted as one boolean row per eligible key
+    against the constant-true oracle (the codec_roundtrip pattern;
+    interval VALUES are pytest-gated vs a brute-force-verified
+    Viterbi kernel in tests/test_bursts.py)."""
+    from pyspark.sql import Window
+
+    from tsclust_spark.operators.bursts import detect_bursts
+
+    ev = _load(spark, sf_dir, "events")
+    bursts = detect_bursts(ev, s=3.0, gamma=1.0, min_gaps=3)
+    span = ev.groupBy(
+        F.col("event_type").cast("string").alias("key")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("ts").alias("_lo"),
+        F.max("ts").alias("_hi"),
+    )
+    w = Window.partitionBy("key").orderBy("burst_start")
+    checked = (
+        bursts.withColumn("_next", F.lead("burst_start").over(w))
+        .join(span, "key")
+        .groupBy("key")
+        .agg(
+            F.min(
+                (F.col("burst_start") < F.col("burst_end"))
+                & (F.col("burst_start") >= F.col("_lo"))
+                & (F.col("burst_end") <= F.col("_hi"))
+                & (F.col("n_gaps") >= 3)
+                & (
+                    F.col("_next").isNull()
+                    | (F.col("burst_end") <= F.col("_next"))
+                )
+            ).alias("ok")
+        )
+    )
+    return (
+        span.filter(F.col("_n") >= 2)
+        .join(checked, "key", "left")
+        .select("key", F.coalesce("ok", F.lit(True)).alias("ok"))
+    )
+
+
+_SQL_BURST_INVARIANTS = """
+SELECT CAST(event_type AS VARCHAR) AS key, true AS ok
+FROM events GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
 def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver gates PROVEN but not yet registered: the 50-entry driver
     window is at capacity with queries that must certify this round
@@ -6504,6 +6556,7 @@ def queued_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank_early_vs_late": _q_logrank,
         "dominant_lag": _q_dominant_lag,
         "weibull_fit": _q_weibull_fit,
+        "burst_invariants": _q_burst_invariants,
     }
 
 
@@ -6557,6 +6610,7 @@ def queued_oracle_sql() -> dict[str, str]:
         "logrank_early_vs_late": _SQL_LOGRANK,
         "dominant_lag": _SQL_DOMINANT_LAG,
         "weibull_fit": _SQL_WEIBULL_FIT,
+        "burst_invariants": _SQL_BURST_INVARIANTS,
     }
 
 

@@ -550,6 +550,13 @@ NOTES = {
         "top-1 window over keys x |lags| rows — metadata scale; "
         "quantize-before-rank, ties to the smallest lag."
     ),
+    "burst_invariants": (
+        "One hash Exchange on the key + whole-key applyInPandas "
+        "Viterbi (a global DP over the key's gap sequence — it "
+        "cannot batch-split, the documented applyInPandas-not-"
+        "mapInPandas choice), then interval-scale windows for the "
+        "invariant booleans. Output is interval rows, never points."
+    ),
     "weibull_fit": (
         "The KM plan capped by one five-moment OLS aggregate over "
         "the Weibull-plot coordinates (duration-cardinality rows); "
