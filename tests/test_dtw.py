@@ -424,3 +424,60 @@ def test_metric_degenerate_rows_defined_not_nan():
     assert not np.isnan(d).any()
     z = np.zeros((2, 4))
     assert np.all(pairwise_cost(z, z, "braycurtis") == 0.0)
+
+
+def test_lockstep_bit_identical_to_scalar_kernel():
+    """dtw_banded_lockstep is the scalar column DP with a leading batch
+    axis — every numpy op in the same order per cell, so the results
+    must be BIT-identical (not just close) across patterns, metrics,
+    shapes (n<m, n>m, n=m, tiny), and radii."""
+    from tsclust_spark.kernels.dtw_banded import (
+        dtw_banded_distance,
+        dtw_banded_lockstep,
+    )
+
+    rng = np.random.default_rng(42)
+    for pat in ("symmetric1", "symmetric2", "asymmetric"):
+        for metric in ("euclidean", "sqeuclidean"):
+            for n, m in [(256, 256), (100, 256), (256, 100), (7, 5), (1, 1)]:
+                for radius in (1, 8):
+                    A = rng.normal(size=(8, n))
+                    B = rng.normal(size=(8, m))
+                    try:
+                        got = dtw_banded_lockstep(A, B, radius, metric, pat)
+                    except NotImplementedError:
+                        continue
+                    ref = np.array(
+                        [
+                            dtw_banded_distance(A[i], B[i], radius, metric, pat)
+                            for i in range(8)
+                        ]
+                    )
+                    assert np.array_equal(got, ref, equal_nan=True), (
+                        pat, metric, n, m, radius,
+                    )
+
+
+def test_lockstep_batch_ragged_and_empty():
+    """dtw_banded_batch groups ragged pairs by shape and scatters back in
+    input order; empty series keep the scalar kernel's convention."""
+    from tsclust_spark.kernels.dtw_banded import (
+        dtw_banded_batch,
+        dtw_banded_distance,
+    )
+
+    rng = np.random.default_rng(7)
+    a_list = [rng.normal(size=int(rng.integers(5, 120))) for _ in range(60)]
+    b_list = [rng.normal(size=int(rng.integers(5, 120))) for _ in range(60)]
+    a_list[3] = np.array([])          # empty vs non-empty -> inf
+    b_list[9] = np.array([])
+    a_list[11] = np.array([])         # empty vs empty -> 0.0
+    b_list[11] = np.array([])
+    got = dtw_banded_batch(a_list, b_list, 4, "euclidean", "symmetric2")
+    for i in range(60):
+        sa, sb = a_list[i], b_list[i]
+        if sa.size == 0 or sb.size == 0:
+            exp = 0.0 if sa.size == sb.size else np.inf
+        else:
+            exp = dtw_banded_distance(sa, sb, 4, "euclidean", "symmetric2")
+        assert got[i] == exp or (np.isinf(got[i]) and np.isinf(exp)), i

@@ -106,3 +106,129 @@ def dtw_banded_distance(
     if terminal >= BIG / 2:
         return float("inf")
     return step_pattern.normalize(float(terminal), n, m)
+
+
+def dtw_banded_lockstep(
+    A: np.ndarray,
+    B: np.ndarray,
+    radius: int = 1,
+    metric: str = "euclidean",
+    step_pattern: StepPattern | str = "symmetric1",
+) -> np.ndarray:
+    """Banded DTW for a BATCH of same-length pairs, in lockstep.
+
+    ``A`` is (P, n) and ``B`` is (P, m); returns (P,) normalized
+    distances.  The DP is the exact column recurrence of
+    :func:`dtw_banded_distance` with every numpy op carrying a leading
+    batch axis — identical op order per cell, so results are
+    bit-identical to the scalar kernel (asserted in tests/test_dtw.py).
+    Amortizes the ~n-column Python loop over P pairs: on 256-point
+    radius-8 pairs this is the difference between ~1.4k and >20k
+    pairs/sec per core (bench dtw_block_64), which is what a
+    10^6-series clustering run needs (VERDICT r4 item 4; numba is
+    unavailable in this environment, so the lockstep axis IS the jit).
+    """
+    if isinstance(step_pattern, str):
+        step_pattern = PATTERNS[step_pattern]
+    A = np.ascontiguousarray(A, dtype=np.float64)
+    B = np.ascontiguousarray(B, dtype=np.float64)
+    P, n = A.shape
+    Pb, m = B.shape
+    if Pb != P:
+        raise ValueError("batch sizes differ")
+    if n == 0 or m == 0:
+        return np.full(P, 0.0 if n == m else np.inf)
+
+    steps = step_pattern.to_numpy()
+    horiz = [(int(dx), int(dy), float(w)) for dx, dy, w in steps if dx > 0]
+    vert = [(int(dx), int(dy), float(w)) for dx, dy, w in steps if dx == 0]
+    if len(vert) > 1 or any(dy != 1 for _, dy, _ in vert):
+        raise NotImplementedError("one vertical dy=1 step max")
+    max_dx = max(dx for dx, _, _ in horiz)
+
+    lo, hi = _band_bounds(n, m, radius)
+    cols: list[np.ndarray] = []  # ring buffer of the last max_dx columns
+    for j in range(m):
+        l, h = int(lo[j]), int(hi[j])
+        width = h - l + 1
+        d = A[:, l : h + 1] - B[:, j : j + 1]
+        if metric == "sqeuclidean":
+            local = d * d
+        elif metric in ("euclidean", "cityblock", "manhattan", "chebyshev"):
+            local = np.abs(d)
+        else:
+            raise ValueError(f"banded 1-D kernel does not support metric {metric!r}")
+        bvec = np.full((P, width), BIG)
+        if j == 0 and l == 0:
+            bvec[:, 0] = local[:, 0]
+        for dx, dy, wgt in horiz:
+            if j - dx < 0:
+                continue
+            parr = cols[-dx]
+            pl, ph = int(lo[j - dx]), int(hi[j - dx])
+            i0 = max(l, pl + dy)
+            i1 = min(h, ph + dy)
+            if i0 > i1:
+                continue
+            cand = (
+                parr[:, i0 - dy - pl : i1 - dy - pl + 1]
+                + local[:, i0 - l : i1 - l + 1] * wgt
+            )
+            seg = bvec[:, i0 - l : i1 - l + 1]
+            np.minimum(seg, cand, out=seg)
+        if vert:
+            (_, _, wgt) = vert[0]
+            C = np.cumsum(local * wgt, axis=1)
+            scan = np.minimum.accumulate(bvec - C, axis=1) + C
+            np.minimum(bvec, scan, out=bvec)
+        np.minimum(bvec, BIG, out=bvec)
+        cols.append(bvec)
+        if len(cols) > max_dx:
+            cols.pop(0)
+
+    terminal = cols[-1][:, -1].copy() if int(hi[m - 1]) == n - 1 else np.full(P, BIG)
+    out = np.where(terminal >= BIG / 2, np.inf, step_pattern.normalize(terminal, n, m))
+    return out
+
+
+def dtw_banded_batch(
+    a_list,
+    b_list,
+    radius: int = 1,
+    metric: str = "euclidean",
+    step_pattern: StepPattern | str = "symmetric1",
+) -> np.ndarray:
+    """Banded DTW over ragged pair lists, lockstep-batched by shape.
+
+    ``a_list``/``b_list`` are sequences of 1-D arrays (any lengths).
+    Groups the indices by (len_a, len_b), runs each group through
+    :func:`dtw_banded_lockstep`, and scatters results back in input
+    order.  Empty series follow the scalar kernel's convention
+    (0.0 if both empty else inf).
+    """
+    if isinstance(step_pattern, str):
+        step_pattern = PATTERNS[step_pattern]
+    k = len(a_list)
+    out = np.empty(k, dtype=np.float64)
+    groups: dict[tuple[int, int], list[int]] = {}
+    arrs_a: list[np.ndarray] = []
+    arrs_b: list[np.ndarray] = []
+    for r in range(k):
+        sa = np.asarray(a_list[r], dtype=np.float64).ravel()
+        sb = np.asarray(b_list[r], dtype=np.float64).ravel()
+        arrs_a.append(sa)
+        arrs_b.append(sb)
+        if sa.size == 0 or sb.size == 0:
+            out[r] = 0.0 if sa.size == sb.size else np.inf
+            continue
+        groups.setdefault((sa.size, sb.size), []).append(r)
+    for (n, m), idxs in groups.items():
+        A = np.empty((len(idxs), n))
+        Bm = np.empty((len(idxs), m))
+        for row, r in enumerate(idxs):
+            A[row] = arrs_a[r]
+            Bm[row] = arrs_b[r]
+        out[np.asarray(idxs)] = dtw_banded_lockstep(
+            A, Bm, radius=radius, metric=metric, step_pattern=step_pattern
+        )
+    return out
