@@ -16,9 +16,10 @@ def _plan(df) -> str:
 
 
 def _queued(name):
+    # rotated into the live registry in round 5; fall back to queued
     import __spark_entry__ as e
 
-    return e.queued_queries()[name]
+    return {**e.queued_queries(), **e.queries()}[name]
 
 
 # Catalyst-only operators: NO Python evaluation nodes of any kind.

@@ -620,14 +620,20 @@ def dtw_selfcheck(
     pattern_name: str = "symmetric2",
     sakoe_chiba_radius: int = 2,
     atol: float = 1e-9,
+    eps: float = 0.4,
 ):
-    """C26 hash-gate: per pair, the O(n·band) banded kernel must agree
+    """C26/C13 hash-gate: per pair, the O(n·band) banded kernel must agree
     with the masked full-DP recurrence (<= ``atol``; they sum the same
-    costs in a different order, so agreement is 1e-9-tight, not bitwise).
+    costs in a different order, so agreement is 1e-9-tight, not bitwise)
+    — AND the LB_Keogh pruning invariants must hold on the same pair
+    (``ok_pruned``): the bound lower-bounds the banded distance, and
+    pruning at ``eps`` never discards a pair with dist <= eps.  One gate
+    covers both kernels (dtw_banded.py lockstep DP + dtw_lb.py bound).
 
-    Output ``(id_a, id_b, ok boolean)`` — an all-true table, which a SQL
-    oracle can assert as a constant (the codec_roundtrip trick), turning
-    the non-SQL-expressible DTW kernel into a hash-green driver gate.
+    Output ``(id_a, id_b, ok, ok_pruned)`` — an all-true table, which a
+    SQL oracle can assert as a constant (the codec_roundtrip trick),
+    turning the non-SQL-expressible DTW kernels into one hash-green
+    driver gate.
     """
     from pyspark.sql import functions as F
 
@@ -648,9 +654,11 @@ def dtw_selfcheck(
         import pandas as pd
 
         from tsclust_spark.kernels.dtw_banded import dtw_banded_batch
+        from tsclust_spark.kernels.dtw_lb import keogh_envelope, lb_keogh
 
         for pdf in batches:
             oks = np.empty(len(pdf), dtype=bool)
+            oks_pruned = np.empty(len(pdf), dtype=bool)
             a_col = pdf["tokens_a"].to_numpy()
             b_col = pdf["tokens_b"].to_numpy()
             a_arrs = [np.asarray(a_col[r], dtype=np.float64) for r in range(len(pdf))]
@@ -662,6 +670,7 @@ def dtw_selfcheck(
                 s1, s2 = a_arrs[r], b_arrs[r]
                 if s1.size == 0 or s2.size == 0:
                     oks[r] = True
+                    oks_pruned[r] = True
                     continue
                 fast = fast_all[r]
                 cost = pairwise_cost(s1, s2, "euclidean")
@@ -680,10 +689,22 @@ def dtw_selfcheck(
                     oks[r] = np.isinf(fast) == np.isinf(full)
                 else:
                     oks[r] = abs(fast - full) <= atol
+                L, U = keogh_envelope(s2, s1.size, sakoe_chiba_radius)
+                lb = pattern.normalize(
+                    lb_keogh(s1, L, U, "euclidean"), s1.size, s2.size
+                )
+                lb_valid = lb <= fast + atol
+                prune_safe = (lb <= eps) or (fast > eps)
+                oks_pruned[r] = bool(lb_valid and prune_safe)
             yield pd.DataFrame(
-                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "ok": oks}
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "ok": oks,
+                    "ok_pruned": oks_pruned,
+                }
             )
 
     return pairs.mapInPandas(
-        compute, schema="id_a string, id_b string, ok boolean"
+        compute, schema="id_a string, id_b string, ok boolean, ok_pruned boolean"
     )
