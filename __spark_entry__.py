@@ -3885,13 +3885,15 @@ LEFT JOIN centered c ON b.user_id = c.user_id AND b.pos % 7 = c.slot
 
 def _q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (operators/packing.py): FFD-pack the documents
-    table into 128-token context windows over 8 hash buckets, then emit
-    the per-doc invariant booleans — every doc packed exactly once, no
-    pack over capacity, concatenation offsets consistent. The oracle is
-    the constant-true documents projection (multiset equality also
-    proves exactly-once coverage); pack-assignment VALUES are gated in
-    tests/test_packing.py against the pure-Python FFD reference."""
-    from tsclust_spark.operators.packing import pack_invariants, pack_sequences
+    table into 128-token context windows over 8 hash buckets and emit
+    the ACTUAL assignment per doc — (bucket, pack_id, pack_pos,
+    pack_offset, oversize). VALUE-LEVEL gate (VERDICT r4 item 7): the
+    DuckDB oracle recomputes the identical first-fit-decreasing
+    assignment with an integer-exact recursive CTE (no float in the
+    algorithm, so cross-engine identity is exact), replacing the former
+    constant-true invariant oracle. Invariants stay pytest-gated
+    (tests/test_packing.py)."""
+    from tsclust_spark.operators.packing import pack_sequences
     from tsclust_spark.operators.textstats import token_count
 
     docs = token_count(_load(spark, sf_dir, "documents")).select(
@@ -3900,22 +3902,95 @@ def _q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_sequences(
         docs, capacity=128, len_col="n_tok", id_col="doc_id", n_buckets=8
     )
-    inv = pack_invariants(packed, capacity=128)
-    return inv.select(
+    return packed.select(
         F.col("id").cast("long").alias("doc_id"),
         F.col("length").alias("n_tok"),
-        "ok_fits",
-        "ok_offset",
-        "ok_once",
+        F.col("bucket").cast("int").alias("bucket"),
+        "pack_id",
+        F.col("pack_pos").cast("int").alias("pack_pos"),
+        F.col("pack_offset").cast("long").alias("pack_offset"),
+        "oversize",
     )
 
 
+# FFD replicated in SQL: same bucket hash (md5 'tsclust-pack|id' first 8
+# hex % 8), same consideration order (length desc, id asc as VARCHAR),
+# same first-fit scan (first bin with room, else open a new one) via a
+# recursive CTE carrying each bucket's bin-remainder list — all integer
+# arithmetic, so assignment identity is exact, not tolerance-based.
 _SQL_PACK_DOCS = """
-SELECT doc_id,
-  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                       w -> len(w) > 0)) AS BIGINT) AS n_tok,
-  true AS ok_fits, true AS ok_offset, true AS ok_once
-FROM documents
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         w -> len(w) > 0)) AS BIGINT) AS n_tok
+  FROM documents
+),
+skinny AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, n_tok AS length,
+    CAST(CAST(('0x' || substring(
+        md5('tsclust-pack|' || CAST(doc_id AS VARCHAR)), 1, 8))
+      AS BIGINT) % 8 AS INTEGER) AS bucket
+  FROM tok
+),
+docs AS (
+  SELECT id, length, bucket,
+         row_number() OVER (
+           PARTITION BY bucket ORDER BY length DESC, id ASC) AS rn
+  FROM skinny WHERE length <= 128
+),
+ffd AS (
+  SELECT bucket, rn, id, length,
+         0 AS bin_idx,
+         [128 - length] AS remaining
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.id, d.length,
+         CASE WHEN COALESCE(list_position(
+                list_transform(f.remaining, r -> r >= d.length), true),
+                0) = 0
+              THEN len(f.remaining)
+              ELSE list_position(
+                list_transform(f.remaining, r -> r >= d.length), true) - 1
+         END AS bin_idx,
+         CASE WHEN COALESCE(list_position(
+                list_transform(f.remaining, r -> r >= d.length), true),
+                0) = 0
+              THEN list_append(f.remaining, 128 - d.length)
+              ELSE f.remaining[1:list_position(
+                     list_transform(f.remaining, r -> r >= d.length),
+                     true) - 1]
+                   || [f.remaining[list_position(
+                        list_transform(f.remaining, r -> r >= d.length),
+                        true)] - d.length]
+                   || f.remaining[list_position(
+                        list_transform(f.remaining, r -> r >= d.length),
+                        true) + 1:]
+         END AS remaining
+  FROM ffd f
+  JOIN docs d ON d.bucket = f.bucket AND d.rn = f.rn + 1
+),
+packed AS (
+  SELECT bucket, id, length,
+         CAST(bucket AS VARCHAR) || ':' || CAST(bin_idx AS VARCHAR)
+           AS pack_id,
+         CAST(row_number() OVER (
+           PARTITION BY bucket, bin_idx ORDER BY rn) - 1 AS INTEGER)
+           AS pack_pos,
+         CAST(COALESCE(sum(length) OVER (
+           PARTITION BY bucket, bin_idx ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS pack_offset,
+         false AS oversize
+  FROM ffd
+  UNION ALL
+  SELECT bucket, id, length,
+         CAST(bucket AS VARCHAR) || ':ovr:' || id,
+         0, CAST(0 AS BIGINT), true
+  FROM skinny WHERE length > 128
+)
+SELECT CAST(id AS BIGINT) AS doc_id, length AS n_tok, bucket, pack_id,
+       pack_pos, pack_offset, oversize
+FROM packed
 """
 
 
@@ -6457,55 +6532,160 @@ FROM f2
 """
 
 
-def _q_burst_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kleinberg burst detection structural gate
-    (operators/bursts.py): per key, every detected interval must be
-    ordered, disjoint, inside the key's observed span, and cover >=
-    min_gaps gaps — emitted as one boolean row per eligible key
-    against the constant-true oracle (the codec_roundtrip pattern;
-    interval VALUES are pytest-gated vs a brute-force-verified
-    Viterbi kernel in tests/test_bursts.py)."""
+_BURST_LAM0 = 1.0 / 15000.0
+_BURST_S = 3.0
+_BURST_TRANS = 2.0
+
+
+def _q_burst_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg burst detection, VALUE-LEVEL gate (VERDICT r4 item 7 —
+    the former burst_invariants constant-true oracle upgraded to a full
+    DuckDB Viterbi twin). Both engines deterministically synthesize a
+    bursty timeline from events (every gap with 1-based index % 37 < 8
+    integer-divided by 50 — all BIGINT arithmetic, so the timeline is
+    cross-engine exact), then run the 2-state automaton with PINNED
+    lambda0/transition cost: every per-gap cost is the same two IEEE
+    ops on the same doubles, the DP compares bit-identical sums in the
+    same order, and the oracle's recursive-CTE Viterbi (forward path
+    carry) reproduces the kernel's interval set exactly — no
+    tolerances. Output: (key, burst_start_ns, burst_end_ns, n_gaps) as
+    offsets into the synthetic timeline."""
     from pyspark.sql import Window
 
     from tsclust_spark.operators.bursts import detect_bursts
 
-    ev = _load(spark, sf_dir, "events")
-    bursts = detect_bursts(ev, s=3.0, gamma=1.0, min_gaps=3)
-    span = ev.groupBy(
-        F.col("event_type").cast("string").alias("key")
-    ).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.min("ts").alias("_lo"),
-        F.max("ts").alias("_hi"),
-    )
-    w = Window.partitionBy("key").orderBy("burst_start")
-    checked = (
-        bursts.withColumn("_next", F.lead("burst_start").over(w))
-        .join(span, "key")
-        .groupBy("key")
-        .agg(
-            F.min(
-                (F.col("burst_start") < F.col("burst_end"))
-                & (F.col("burst_start") >= F.col("_lo"))
-                & (F.col("burst_end") <= F.col("_hi"))
-                & (F.col("n_gaps") >= 3)
-                & (
-                    F.col("_next").isNull()
-                    | (F.col("burst_end") <= F.col("_next"))
-                )
-            ).alias("ok")
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 10)
+        .select(
+            F.col("event_type").cast("string").alias("key"),
+            "ts",
+            "event_id",
         )
     )
-    return (
-        span.filter(F.col("_n") >= 2)
-        .join(checked, "key", "left")
-        .select("key", F.coalesce("ok", F.lit(True)).alias("ok"))
+    w = Window.partitionBy("key").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "key",
+        F.row_number().over(w).alias("rn"),
+        (F.unix_micros("ts") * F.lit(1000)).alias("tns"),
+    )
+    w2 = Window.partitionBy("key").orderBy("rn")
+    gaps = ordered.withColumn(
+        "gns", F.lead("tns").over(w2) - F.col("tns")
+    ).withColumn(
+        "g2",
+        F.when(
+            (F.col("rn") % 37) < 8, F.expr("gns div 50")
+        ).otherwise(F.col("gns")),
+    )
+    w3 = w2.rowsBetween(Window.unboundedPreceding, -1)
+    series = gaps.select(
+        "key",
+        F.col("rn").alias("seq"),
+        F.coalesce(F.sum("g2").over(w3), F.lit(0)).alias("t2ns"),
+    )
+    return detect_bursts(
+        series,
+        s=_BURST_S,
+        min_gaps=3,
+        key_col="key",
+        ts_col="t2ns",
+        tiebreak_col="seq",
+        lambda0=_BURST_LAM0,
+        trans_cost=_BURST_TRANS,
+        ns_output=True,
     )
 
 
-_SQL_BURST_INVARIANTS = """
-SELECT CAST(event_type AS VARCHAR) AS key, true AS ok
-FROM events GROUP BY 1 HAVING count(*) >= 2
+def _make_sql_burst_intervals() -> str:
+    """DuckDB twin of _q_burst_intervals: the identical synthetic
+    timeline (BIGINT-exact), the identical per-gap costs (lambda0, s,
+    ln(lambda) embedded as repr() literals of the very doubles the
+    kernel computes), and a recursive-CTE Viterbi carrying the optimal
+    path per state forward (equivalent to the kernel's backtrack,
+    including its tie-breaks: into-base ties stay base, into-burst
+    ties stay burst, final tie picks base)."""
+    import math
+
+    lam0 = _BURST_LAM0
+    lam1 = _BURST_S * lam0
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         epoch_ns(ts) AS tns,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id <= 10
+),
+gaps AS (
+  SELECT key, rn AS gi,
+         CASE WHEN (rn % 37) < 8
+              THEN (lead(tns) OVER w - tns) // 50
+              ELSE lead(tns) OVER w - tns END AS gns
+  FROM ordered
+  WINDOW w AS (PARTITION BY key ORDER BY rn)
+  QUALIFY lead(tns) OVER w IS NOT NULL
+),
+tl AS (
+  SELECT key, gi, gns,
+         count(*) OVER (PARTITION BY key) AS n,
+         CAST(COALESCE(sum(gns) OVER (PARTITION BY key ORDER BY gi
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS t_lo,
+         CAST(sum(gns) OVER (PARTITION BY key ORDER BY gi) AS BIGINT)
+           AS t_hi,
+         {lam0!r} * (CAST(gns AS DOUBLE) / 1e9)
+           - ({math.log(lam0)!r}) AS c0,
+         {lam1!r} * (CAST(gns AS DOUBLE) / 1e9)
+           - ({math.log(lam1)!r}) AS c1
+  FROM gaps
+),
+fwd AS (
+  SELECT key, gi, n, c0 AS cost0, c1 + {_BURST_TRANS!r} AS cost1,
+         [0] AS path0, [1] AS path1
+  FROM tl WHERE gi = 1
+  UNION ALL
+  SELECT t.key, t.gi, t.n,
+         (CASE WHEN f.cost1 < f.cost0
+               THEN f.cost1 ELSE f.cost0 END) + t.c0,
+         (CASE WHEN f.cost0 + {_BURST_TRANS!r} < f.cost1
+               THEN f.cost0 + {_BURST_TRANS!r} ELSE f.cost1 END) + t.c1,
+         (CASE WHEN f.cost1 < f.cost0
+               THEN f.path1 ELSE f.path0 END) || [0],
+         (CASE WHEN f.cost0 + {_BURST_TRANS!r} < f.cost1
+               THEN f.path0 ELSE f.path1 END) || [1]
+  FROM fwd f JOIN tl t ON t.key = f.key AND t.gi = f.gi + 1
+),
+states AS (
+  SELECT key,
+         CASE WHEN cost0 <= cost1 THEN path0 ELSE path1 END AS path
+  FROM fwd WHERE gi = n
+),
+st AS (
+  SELECT key,
+         unnest(range(1, len(path) + 1)) AS gi,
+         unnest(path) AS s
+  FROM states
+),
+runs AS (
+  SELECT key, gi, s,
+         gi - row_number() OVER (PARTITION BY key, s ORDER BY gi) AS grp
+  FROM st
+),
+bursts AS (
+  SELECT key, min(gi) AS glo, max(gi) AS ghi,
+         CAST(count(*) AS BIGINT) AS n_gaps
+  FROM runs WHERE s = 1
+  GROUP BY key, grp
+  HAVING count(*) >= 3
+)
+SELECT b.key,
+       lo.t_lo AS burst_start_ns,
+       hi.t_hi AS burst_end_ns,
+       b.n_gaps
+FROM bursts b
+JOIN tl lo ON lo.key = b.key AND lo.gi = b.glo
+JOIN tl hi ON hi.key = b.key AND hi.gi = b.ghi
 """
 
 
@@ -6693,7 +6873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank_early_vs_late": _q_logrank,
         "dominant_lag": _q_dominant_lag,
         "weibull_fit": _q_weibull_fit,
-        "burst_invariants": _q_burst_invariants,
+        "burst_intervals": _q_burst_intervals,
         # --- round-5 code change (commit 6444d0f, lockstep banded DTW
         #     DP + dtw_lb): recertify both kernels via the combined gate
         #     (ok = banded==masked-full, ok_pruned = LB invariants) ---
@@ -6935,5 +7115,5 @@ def oracle_sql() -> dict[str, str]:
         "logrank_early_vs_late": _SQL_LOGRANK,
         "dominant_lag": _SQL_DOMINANT_LAG,
         "weibull_fit": _SQL_WEIBULL_FIT,
-        "burst_invariants": _SQL_BURST_INVARIANTS,
+        "burst_intervals": _make_sql_burst_intervals(),
     }

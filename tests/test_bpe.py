@@ -81,6 +81,59 @@ def test_apply_reconstructs_and_merges(spark):
     assert out[CORPUS.index("newest")]["n_bpe_tokens"] <= 2
 
 
+def test_batched_training_identical_to_sequential(spark):
+    """max_batch>1 folds provably-order-safe merges into one Spark round;
+    the learned merge LIST must be bit-identical to max_batch=1 (which
+    is itself reference-identical)."""
+    hist = word_histogram(_docs(spark))
+    seq = train_bpe(hist, n_merges=10, max_batch=1)
+    assert train_bpe(hist, n_merges=10, max_batch=8) == seq
+    assert train_bpe(hist, n_merges=10, max_batch=3) == seq
+
+
+def test_batched_training_identical_on_zipfian_corpus(spark):
+    """Stress the batch-selection rule on a larger Zipf-weighted corpus
+    with shared stems (overlapping pairs, near-tie counts)."""
+    import random
+
+    rng = random.Random(42)
+    stems = ["run", "walk", "jump", "light", "night", "right", "read",
+             "lead", "deep", "keep", "seen", "teen", "test", "rest"]
+    sufs = ["", "s", "er", "ing", "est", "ed"]
+    vocab = [s + x for s in stems for x in sufs]
+    freqs = {w: max(1, int(200 / (i + 1))) for i, w in enumerate(
+        sorted(vocab, key=lambda w: rng.random()))}
+    # feed the histogram directly (train_bpe's actual input contract)
+    hist = spark.createDataFrame(
+        list(freqs.items()), "word string, freq long"
+    )
+    seq = train_bpe(hist, n_merges=25, max_batch=1)
+    assert train_bpe(hist, n_merges=25, max_batch=8) == seq
+    assert seq == _ref_train(freqs, 25)
+
+
+def test_select_merge_batch_margin_rule():
+    """Unit cases for the prefix-safety rule: symbol overlap and
+    insufficient count margin both stop the batch."""
+    from tsclust_spark.operators.bpe import _select_merge_batch
+
+    def row(l, r, cnt):
+        return {"l": l, "r": r, "cnt": cnt}
+
+    # clean margins, disjoint symbols -> both taken
+    top = [row("a", "b", 100), row("c", "d", 50), row("e", "f", 10)]
+    assert _select_merge_batch(top, 2, 2) == [("a", "b"), ("c", "d")]
+    # second overlaps first's created symbol "ab" -> batch stops at 1
+    top = [row("a", "b", 100), row("ab", "d", 50), row("e", "f", 10)]
+    assert _select_merge_batch(top, 2, 2) == [("a", "b")]
+    # margin too thin: 50 <= 45 + 100 -> stops at 1
+    top = [row("a", "b", 100), row("c", "d", 50), row("e", "f", 45)]
+    assert _select_merge_batch(top, 2, 2) == [("a", "b")]
+    # second under min_pair_freq -> stops at 1
+    top = [row("a", "b", 100), row("c", "d", 1), row("e", "f", 0)]
+    assert _select_merge_batch(top, 2, 2) == [("a", "b")]
+
+
 def test_apply_handles_unseen_words(spark):
     docs = _docs(spark)
     merges = train_bpe(word_histogram(docs), n_merges=10)

@@ -129,3 +129,71 @@ def test_viterbi_optimal_vs_bruteforce():
         assert cost([int(x) for x in dp]) == pytest.approx(
             best, abs=1e-9
         )
+
+
+def test_viterbi_fixed_params_optimal_vs_bruteforce():
+    """The pinned lambda0/trans_cost variant (the burst_intervals driver
+    gate's configuration) must also be DP-optimal vs enumeration."""
+    import itertools
+    import math
+
+    rng = np.random.default_rng(7)
+    lam0, s, trans = 1 / 20.0, 3.0, 2.0
+    lam1 = s * lam0
+    for _ in range(40):
+        g = rng.exponential(rng.uniform(1, 60), size=9)
+        dp = viterbi_bursts(g, s=s, lambda0=lam0, trans_cost=trans)
+
+        def cost(seq):
+            def c(k, x):
+                lam = lam1 if k else lam0
+                return lam * x - math.log(lam)
+
+            tot = c(seq[0], g[0]) + (trans if seq[0] == 1 else 0)
+            for i in range(1, g.size):
+                tot += c(seq[i], g[i])
+                if seq[i] == 1 and seq[i - 1] == 0:
+                    tot += trans
+            return tot
+
+        best = min(
+            cost(seq)
+            for seq in itertools.product([0, 1], repeat=g.size)
+        )
+        assert cost([int(x) for x in dp]) == pytest.approx(best, abs=1e-9)
+
+
+def test_detect_bursts_ns_output_matches_timestamp_mode(spark):
+    """ns_output=True must yield the same intervals as timestamp mode
+    (start/end as int64 ns instead of timestamps), same kernel path."""
+    import pandas as pd
+    from tsclust_spark.operators.bursts import detect_bursts
+
+    base = 1_700_000_000_000_000_000
+    gaps = [300] * 5 + [5] * 6 + [300] * 5 + [5] * 6 + [300] * 4
+    ts_ns = np.concatenate([[0], np.cumsum(gaps)]) * 1_000_000_000 + base
+    rows = [
+        ("k", pd.Timestamp(int(t)), int(t), i)
+        for i, t in enumerate(ts_ns)
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, tns long, event_id long"
+    )
+    kw = dict(
+        s=3.0, min_gaps=3, key_col="key", lambda0=1 / 150.0,
+        trans_cost=2.0,
+    )
+    ts_mode = detect_bursts(df, ts_col="ts", **kw).collect()
+    ns_mode = detect_bursts(
+        df, ts_col="tns", ns_output=True, **kw
+    ).collect()
+    assert len(ts_mode) == len(ns_mode) == 2  # both planted fast runs
+    got_ts = sorted(
+        (r["burst_start"].timestamp(), r["burst_end"].timestamp(),
+         r["n_gaps"]) for r in ts_mode
+    )
+    got_ns = sorted(
+        (r["burst_start_ns"] / 1e9, r["burst_end_ns"] / 1e9, r["n_gaps"])
+        for r in ns_mode
+    )
+    assert got_ts == got_ns

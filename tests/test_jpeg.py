@@ -90,9 +90,9 @@ def test_not_jpeg_raises():
         decode_jpeg(b"\x89PNG\r\n\x1a\nnot a jpeg")
 
 
-def test_progressive_raises_not_implemented():
-    # minimal stream whose first real marker is SOF2 (progressive)
-    payload = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b" + bytes(9)
+def test_arithmetic_sof_raises_not_implemented():
+    # stream whose first real marker is SOF9 (arithmetic sequential)
+    payload = b"\xff\xd8" + b"\xff\xc9" + b"\x00\x0b" + bytes(9)
     with pytest.raises(NotImplementedError):
         decode_jpeg(payload)
 
@@ -123,3 +123,69 @@ def test_decode_image_routes_jpeg():
     rgb = np.stack([img, img, img], axis=2)
     px2 = decode_image(encode_jpeg(rgb, quality=90), 24, 24)
     assert px2.shape == (24, 24)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — decode must be BIT-IDENTICAL to the baseline
+# decode of the same quantized coefficients
+# ---------------------------------------------------------------------------
+
+def _prog_identical(img, scans=None, quality=85):
+    from tsclust_spark.operators.jpeg import encode_jpeg_progressive
+
+    base = decode_jpeg(encode_jpeg(img, quality=quality))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=quality, scans=scans)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_gray_default_script():
+    rng = np.random.default_rng(0)
+    _prog_identical(rng.integers(0, 256, (24, 17), dtype=np.uint8))
+    _prog_identical(
+        np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 1))
+    )
+
+
+def test_progressive_color_default_script():
+    rng = np.random.default_rng(2)
+    _prog_identical(rng.integers(0, 256, (19, 13, 3), dtype=np.uint8))
+
+
+def test_progressive_spectral_selection_only():
+    rng = np.random.default_rng(1)
+    scans = [([0], 0, 0, 0, 0), ([0], 1, 5, 0, 0),
+             ([0], 6, 20, 0, 0), ([0], 21, 63, 0, 0)]
+    _prog_identical(
+        rng.integers(0, 256, (32, 32), dtype=np.uint8), scans
+    )
+
+
+def test_progressive_three_level_successive_approximation():
+    rng = np.random.default_rng(3)
+    scans = [([0], 0, 0, 0, 2), ([0], 0, 0, 2, 1), ([0], 0, 0, 1, 0),
+             ([0], 1, 63, 0, 2), ([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0)]
+    _prog_identical(
+        rng.integers(0, 256, (24, 24), dtype=np.uint8), scans
+    )
+
+
+def test_progressive_sparse_zrl_eob_paths():
+    # mostly-flat image with isolated impulses: long zero-history runs
+    # (ZRL) in first AND refinement scans, plus EOB tails
+    img = np.full((48, 48), 128, dtype=np.uint8)
+    img[5, 40] = 255
+    img[30, 7] = 0
+    img[47, 47] = 255
+    scans = [([0], 0, 0, 0, 2), ([0], 0, 0, 2, 1), ([0], 0, 0, 1, 0),
+             ([0], 1, 63, 0, 2), ([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0)]
+    _prog_identical(img, scans)
+    _prog_identical(img)
+
+
+def test_progressive_quality_extremes():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (33, 31), dtype=np.uint8)
+    _prog_identical(img, quality=95)
+    _prog_identical(img, quality=10)

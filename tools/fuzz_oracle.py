@@ -101,7 +101,7 @@ DEFAULT_QUERIES = [
     "holt_damped", "regime_anomalies", "decompose_mul_events",
     "self_drift_ks", "benford_digits", "kaplan_meier_churn",
     "stationary_distribution", "logrank_early_vs_late",
-    "dominant_lag", "weibull_fit", "burst_invariants",
+    "dominant_lag", "weibull_fit", "burst_intervals",
 ]
 
 

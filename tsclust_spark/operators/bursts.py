@@ -40,24 +40,42 @@ from pyspark.sql import types as T
 
 
 def viterbi_bursts(
-    gaps: np.ndarray, s: float = 3.0, gamma: float = 1.0
+    gaps: np.ndarray,
+    s: float = 3.0,
+    gamma: float = 1.0,
+    lambda0: float | None = None,
+    trans_cost: float | None = None,
 ) -> np.ndarray:
     """0/1 state per gap — the reference kernel (pure numpy/python).
 
-    ``lambda0`` is 1/mean(gaps) (zero gaps contribute to the mean);
-    transition base->burst costs ``gamma * ln(n)``, burst->base is
-    free (Kleinberg's asymmetric costs).  DP ties resolve to the
+    ``lambda0`` is 1/mean(gaps) by default (zero gaps contribute to the
+    mean); transition base->burst costs ``gamma * ln(n)``, burst->base
+    is free (Kleinberg's asymmetric costs).  DP ties resolve to the
     BASE state.  All-zero or empty gap arrays return all-base.
+
+    The ``lambda0`` / ``trans_cost`` overrides pin both rates and the
+    transition cost to CONSTANTS instead of data-derived values
+    (1/mean needs a cross-partition mean, gamma*ln(n) a log of a
+    data-dependent count) — with them, every per-gap cost is the same
+    two IEEE ops (mul, sub) on the same doubles in any engine, which is
+    what makes the burst_intervals driver gate's DuckDB Viterbi twin
+    bit-exact rather than tolerance-based.
     """
     n = gaps.size
     if n == 0:
         return np.zeros(0, dtype=np.int8)
-    mean_gap = float(gaps.mean())
-    if mean_gap <= 0.0:
-        return np.zeros(n, dtype=np.int8)
-    lam0 = 1.0 / mean_gap
+    if lambda0 is None:
+        mean_gap = float(gaps.mean())
+        if mean_gap <= 0.0:
+            return np.zeros(n, dtype=np.int8)
+        lam0 = 1.0 / mean_gap
+    else:
+        lam0 = float(lambda0)
     lam1 = s * lam0
-    trans = gamma * float(np.log(n)) if n > 1 else gamma
+    if trans_cost is not None:
+        trans = float(trans_cost)
+    else:
+        trans = gamma * float(np.log(n)) if n > 1 else gamma
     import math
 
     c0 = lam0 * gaps - math.log(lam0)
@@ -99,6 +117,15 @@ OUT_SCHEMA = T.StructType(
     ]
 )
 
+NS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("burst_start_ns", T.LongType()),
+        T.StructField("burst_end_ns", T.LongType()),
+        T.StructField("n_gaps", T.LongType()),
+    ]
+)
+
 
 def detect_bursts(
     df: DataFrame,
@@ -108,6 +135,9 @@ def detect_bursts(
     key_col: str = "event_type",
     ts_col: str = "ts",
     tiebreak_col: str = "event_id",
+    lambda0: float | None = None,
+    trans_cost: float | None = None,
+    ns_output: bool = False,
 ) -> DataFrame:
     """Maximal burst intervals per key: ``(key, burst_start,
     burst_end, n_gaps, mean_gap_s)`` — intervals with fewer than
@@ -123,14 +153,19 @@ def detect_bursts(
     stitch intervals at bucket edges.
     """
 
+    schema = NS_OUT_SCHEMA if ns_output else OUT_SCHEMA
+
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = {k.name: [] for k in OUT_SCHEMA.fields}
+        out = {k.name: [] for k in schema.fields}
         pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
         key = str(pdf[key_col].iloc[0])
         ts_ns = pdf[ts_col].astype("int64").to_numpy()
         if ts_ns.size >= 2:
             gaps = np.diff(ts_ns) / 1e9
-            states = viterbi_bursts(gaps, s=s, gamma=gamma)
+            states = viterbi_bursts(
+                gaps, s=s, gamma=gamma, lambda0=lambda0,
+                trans_cost=trans_cost,
+            )
             i = 0
             while i < states.size:
                 if states[i] == 1:
@@ -139,13 +174,34 @@ def detect_bursts(
                         j += 1
                     if j - i >= min_gaps:
                         out["key"].append(key)
-                        out["burst_start"].append(pd.Timestamp(ts_ns[i]))
-                        out["burst_end"].append(pd.Timestamp(ts_ns[j]))
                         out["n_gaps"].append(int(j - i))
-                        out["mean_gap_s"].append(float(gaps[i:j].mean()))
+                        if ns_output:
+                            out["burst_start_ns"].append(int(ts_ns[i]))
+                            out["burst_end_ns"].append(int(ts_ns[j]))
+                        else:
+                            out["burst_start"].append(
+                                pd.Timestamp(ts_ns[i])
+                            )
+                            out["burst_end"].append(pd.Timestamp(ts_ns[j]))
+                            out["mean_gap_s"].append(
+                                float(gaps[i:j].mean())
+                            )
                     i = j
                 else:
                     i += 1
+        if ns_output:
+            return pd.DataFrame(
+                {
+                    "key": pd.Series(out["key"], dtype=object),
+                    "burst_start_ns": pd.Series(
+                        out["burst_start_ns"], dtype="int64"
+                    ),
+                    "burst_end_ns": pd.Series(
+                        out["burst_end_ns"], dtype="int64"
+                    ),
+                    "n_gaps": pd.Series(out["n_gaps"], dtype="int64"),
+                }
+            )
         # explicit dtypes: a burst-less key yields empty lists, and an
         # untyped empty frame makes Arrow fail the timestamp cast
         return pd.DataFrame(
@@ -167,5 +223,5 @@ def detect_bursts(
     return (
         df.select(key_col, ts_col, tiebreak_col)
         .groupBy(key_col)
-        .applyInPandas(run, schema=OUT_SCHEMA)
+        .applyInPandas(run, schema=schema)
     )

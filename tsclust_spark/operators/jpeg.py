@@ -13,9 +13,14 @@ implements the baseline sequential DCT process from the public spec
   canonical Huffman decode, dequant, inverse zigzag, IDCT, chroma
   upsampling for 4:4:4 / 4:2:2 / 4:2:0, YCbCr->RGB.
 
-Scope is honest: baseline sequential 8-bit only — progressive (SOF2),
-arithmetic coding, and hierarchical modes raise ``NotImplementedError``
-(the same explicit contract the PNG decoder uses for interlace).
+Scope: baseline sequential (SOF0/1) and progressive (SOF2, spectral
+selection + successive approximation per T.81 Annex G, incl. EOBRUN
+and AC refinement) 8-bit decode; arithmetic coding, hierarchical and
+lossless modes raise ``NotImplementedError`` (the same explicit
+contract the PNG decoder uses for interlace).  A progressive ENCODER
+(``encode_jpeg_progressive``, grayscale + 4:4:4 color, configurable
+scan script) exists so the progressive decode path is round-trip
+testable without any external JPEG library.
 
 The entropy-coded walk is per-symbol Python (inherent to Huffman); the
 DCT/dequant/color math is vectorized numpy per block batch.  This is a
@@ -434,13 +439,14 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes -> uint8 (H, W) grayscale or
-    (H, W, 3) RGB.
+    """Decode JPEG bytes -> uint8 (H, W) grayscale or (H, W, 3) RGB.
 
-    Supports SOF0 (baseline sequential), 8-bit precision, 1 or 3
-    components, subsampling up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), DRI/RST
-    restart intervals.  Progressive/arithmetic/12-bit raise
-    ``NotImplementedError``.
+    Supports SOF0/1 (baseline/extended sequential) and SOF2
+    (progressive: spectral selection + successive approximation, DC and
+    AC first/refinement scans, EOBRUN — T.81 Annex G), 8-bit precision,
+    1 or 3 components, subsampling up to 2x2 (4:4:4 / 4:2:2 / 4:2:0),
+    DRI/RST restart intervals.  Arithmetic-coded / hierarchical /
+    lossless / 12-bit raise ``NotImplementedError``.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -492,7 +498,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     bits, vals
                 )
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential), SOF2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -502,11 +508,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            if marker == 0xC2:
+                # per-component quantized-coefficient store (zigzag
+                # order), MCU-padded so interleaved DC scans fit
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                frame["coef"] = [
+                    np.zeros(
+                        (mcus_y * c["v"], mcus_x * c["h"], 64),
+                        dtype=np.int64,
+                    )
+                    for c in comps
+                ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{marker:02X} (non-baseline process)"
+                f"JPEG SOF marker 0xFF{marker:02X} (unsupported process)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -517,21 +542,48 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scan = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i : 3 + 2 * i]
-                comp = next(
-                    c for c in frame["comps"] if c["id"] == cs
+                ci, comp = next(
+                    (j, c)
+                    for j, c in enumerate(frame["comps"])
+                    if c["id"] == cs
                 )
                 scan.append(
                     {
                         "comp": comp,
-                        "dc": dc_tabs[tdta >> 4],
-                        "ac": ac_tabs[tdta & 0x0F],
+                        "ci": ci,
+                        # progressive DC-refinement scans need no DC
+                        # table; AC-only scans need no... resolve lazily
+                        "td": tdta >> 4,
+                        "ta": tdta & 0x0F,
                     }
                 )
             data_pos = pos + seglen
-            return _decode_scan(
-                payload, data_pos, frame, scan, qts, restart_interval
+            if not frame.get("progressive"):
+                for s in scan:
+                    s["dc"] = dc_tabs[s["td"]]
+                    s["ac"] = ac_tabs[s["ta"]]
+                return _decode_scan(
+                    payload, data_pos, frame, scan, qts, restart_interval
+                )
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            for s in scan:
+                s["dc"] = dc_tabs.get(s["td"]) if ss == 0 else None
+                s["ac"] = ac_tabs.get(s["ta"]) if se > 0 else None
+            pos = _decode_progressive_scan(
+                payload, data_pos, frame, scan, ss, se, ah, al,
+                restart_interval,
             )
+            # skip to the next true marker (entropy bytes may contain
+            # stuffed 0xFF00, which the outer loop must not parse)
+            while pos < len(payload) - 1 and not (
+                payload[pos] == 0xFF and payload[pos + 1] != 0x00
+            ):
+                pos += 1
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive"):
+        return _progressive_reconstruct(frame, qts)
     raise ValueError("no SOS marker found")
 
 
@@ -638,3 +690,420 @@ def _decode_scan(data, pos, frame, scan, qts, restart_interval):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive mode (T.81 Annex G) — decoder
+# ---------------------------------------------------------------------------
+
+def _comp_block_grid(frame, c):
+    """(blocks_high, blocks_wide) of a component's OWN sampling grid
+    (T.81 A.1.1: ceil of the scaled dimensions) — the block order of
+    non-interleaved scans."""
+    hmax = max(x["h"] for x in frame["comps"])
+    vmax = max(x["v"] for x in frame["comps"])
+    cw = (frame["w"] * c["h"] + hmax - 1) // hmax
+    ch = (frame["h"] * c["v"] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _refine_nonzero(reader, zz, k, se, p1):
+    """EOB-region AC refinement: one correction bit per already-nonzero
+    coefficient in [k, se] (G.1.2.3)."""
+    while k <= se:
+        if zz[k] != 0 and reader.read_bit():
+            if not (abs(int(zz[k])) & p1):
+                zz[k] += p1 if zz[k] > 0 else -p1
+        k += 1
+
+
+def _decode_ac_first(reader, ac_tab, zz, ss, se, al, eobrun):
+    """AC first scan for one block (G.1.2.2); returns updated EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) + (reader.receive(r) if r else 0)
+            return eobrun - 1
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        zz[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(reader, ac_tab, zz, ss, se, al, eobrun):
+    """AC refinement scan for one block (G.1.2.3); returns EOBRUN."""
+    p1 = 1 << al
+    if eobrun > 0:
+        _refine_nonzero(reader, zz, ss, se, p1)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        val = 0
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) + (reader.receive(r) if r else 0)
+                break
+            # r == 15: ZRL — pass 16 zero-history coefficients
+        else:
+            # per G.1.2.3 s must be 1 in a refinement scan
+            val = p1 if reader.read_bit() else -p1
+        # advance: refine nonzeros en route, counting zero-history
+        # positions against r; land on the (r+1)-th zero-history one
+        while k <= se:
+            if zz[k] != 0:
+                if reader.read_bit():
+                    if not (abs(int(zz[k])) & p1):
+                        zz[k] += p1 if zz[k] > 0 else -p1
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if val and k <= se:
+            zz[k] = val
+        k += 1
+    if eobrun > 0:
+        _refine_nonzero(reader, zz, k, se, p1)
+        return eobrun - 1
+    return 0
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, ss, se, ah, al, restart_interval
+):
+    """Decode one progressive scan into frame["coef"]; returns the
+    byte position after the scan's entropy-coded segment."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    reader = _BitReader(data, pos)
+    preds = [0] * len(scan)
+    eobrun = 0
+    unit = 0  # restart unit counter: MCUs (interleaved) or blocks
+
+    def maybe_restart():
+        nonlocal preds, eobrun
+        reader.align()
+        p = reader.pos
+        while data[p] == 0xFF and data[p + 1] == 0xFF:
+            p += 1
+        if data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7:
+            reader.pos = p + 2
+        preds = [0] * len(scan)
+        eobrun = 0
+
+    def dc_block(si, zz):
+        s = scan[si]
+        if ah == 0:
+            t = _huff_decode(reader, s["dc"])
+            diff = _extend(reader.receive(t), t) if t else 0
+            preds[si] += diff
+            zz[0] = preds[si] << al
+        else:
+            if reader.read_bit():
+                zz[0] |= 1 << al
+
+    try:
+        if ss == 0 and len(scan) > 1:
+            # interleaved DC scan over MCUs
+            for mcu in range(mcus_x * mcus_y):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    maybe_restart()
+                my, mx = divmod(mcu, mcus_x)
+                for si, s in enumerate(scan):
+                    c = s["comp"]
+                    coef = frame["coef"][s["ci"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            dc_block(
+                                si,
+                                coef[my * c["v"] + by, mx * c["h"] + bx],
+                            )
+        else:
+            # non-interleaved: single component, its own block grid
+            s = scan[0]
+            c = s["comp"]
+            coef = frame["coef"][s["ci"]]
+            bh, bw = _comp_block_grid(frame, c)
+            for blk in range(bh * bw):
+                if restart_interval and blk and blk % restart_interval == 0:
+                    maybe_restart()
+                by, bx = divmod(blk, bw)
+                zz = coef[by, bx]
+                if ss == 0:
+                    dc_block(0, zz)
+                elif ah == 0:
+                    eobrun = _decode_ac_first(
+                        reader, s["ac"], zz, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _decode_ac_refine(
+                        reader, s["ac"], zz, ss, se, al, eobrun
+                    )
+    except _MarkerHit:
+        raise ValueError("progressive scan entropy data ended early")
+    return reader.pos
+
+
+def _progressive_reconstruct(frame, qts):
+    """All scans consumed: dequantize + IDCT + assemble, mirroring the
+    baseline tail (upsample per component, crop, YCbCr->RGB)."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    out_planes = []
+    for ci, c in enumerate(comps):
+        coef = frame["coef"][ci]
+        bh, bw = coef.shape[:2]
+        qz = qts[c["tq"]].reshape(64)[ZIGZAG].astype(np.float64)
+        deq = coef.astype(np.float64) * qz[None, None, :]
+        nat = np.zeros_like(deq)
+        nat[:, :, ZIGZAG] = deq
+        blocks = nat.reshape(bh, bw, 8, 8)
+        pix = np.einsum("ji,yxjk,kl->yxil", _T, blocks, _T)
+        plane = (
+            pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+        )
+        sx, sy = hmax // c["h"], vmax // c["v"]
+        if sx > 1 or sy > 1:
+            plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive mode — encoder (fixture-grade, grayscale / 4:4:4 color)
+# ---------------------------------------------------------------------------
+
+def _emit_ac_first(writer, zz, ss, se, al, ac_codes):
+    """AC first scan, one block (G.1.2.2 encoder; EOBRUN policy: a
+    run never spans blocks — always the plain EOB symbol, valid if
+    slightly less compressed)."""
+    run = 0
+    wrote_any = False
+    last_nonzero = ss - 1
+    mags = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        mag = abs(v) >> al
+        mags.append(mag if v >= 0 else -mag)
+        if mag:
+            last_nonzero = k
+    for k in range(ss, last_nonzero + 1):
+        val = mags[k - ss]
+        if val == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            writer.write(c, ln)
+            run -= 16
+        t = _category(val)
+        c, ln = ac_codes[(run << 4) | t]
+        writer.write(c, ln)
+        writer.write(val if val >= 0 else val + (1 << t) - 1, t)
+        run = 0
+        wrote_any = True
+    if last_nonzero < se:
+        c, ln = ac_codes[0x00]  # EOB, run of exactly 1 block
+        writer.write(c, ln)
+
+
+def _emit_ac_refine(writer, zz, ss, se, al, ac_codes):
+    """AC refinement scan, one block (G.1.2.3 encoder). Correction
+    bits are emitted POSITIONALLY to mirror the decoder's walk: each
+    ZRL/coded symbol is followed by exactly the correction bits of the
+    already-nonzero coefficients the decoder passes while consuming
+    that symbol's zero-history run."""
+    p1 = 1 << al
+    # classify the band: list of ('z' | ('p', bit) | ('n', sign))
+    events = []
+    for k in range(ss, se + 1):
+        a = abs(int(zz[k]))
+        if a >> (al + 1):
+            events.append(("p", (a >> al) & 1))
+        elif (a >> al) == 1:
+            events.append(("n", 1 if zz[k] > 0 else 0))
+        else:
+            events.append(("z",))
+    i = 0
+    n = len(events)
+    while i < n:
+        # locate next newly-significant coefficient
+        j = i
+        zeros = 0
+        while j < n and events[j][0] != "n":
+            if events[j][0] == "z":
+                zeros += 1
+            j += 1
+        if j == n:
+            # trailing region: EOB (run 1) + correction bits for the
+            # remaining previously-nonzero coefficients
+            if i < n:
+                c, ln = ac_codes[0x00]
+                writer.write(c, ln)
+                for ev in events[i:]:
+                    if ev[0] == "p":
+                        writer.write(ev[1], 1)
+            return
+        while zeros > 15:
+            c, ln = ac_codes[0xF0]  # ZRL: decoder consumes 16 zeros
+            writer.write(c, ln)
+            zc = 0
+            while zc < 16:
+                ev = events[i]
+                if ev[0] == "p":
+                    writer.write(ev[1], 1)
+                elif ev[0] == "z":
+                    zc += 1
+                i += 1
+            zeros -= 16
+        c, ln = ac_codes[(zeros << 4) | 1]
+        writer.write(c, ln)
+        writer.write(events[j][1], 1)  # sign bit read right after rs
+        while i < j:  # correction bits consumed during the walk
+            if events[i][0] == "p":
+                writer.write(events[i][1], 1)
+            i += 1
+        i = j + 1
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quality: int = 85,
+    scans: list | None = None,
+) -> bytes:
+    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 -> progressive
+    JPEG (SOF2) bytes. No subsampling (4:4:4) — the point is a
+    spec-true multi-scan stream for round-trip tests, not rate
+    control.
+
+    ``scans``: list of ``(comp_indices, Ss, Se, Ah, Al)``. The default
+    script exercises every progressive decode path: interleaved DC
+    first (Al=1) -> DC refinement -> split-band AC first (Al=1) ->
+    full-band AC refinement (Ah=1, Al=0).
+    """
+    px = np.asarray(pixels)
+    if px.dtype != np.uint8:
+        raise ValueError("pixels must be uint8")
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    ncomp = 1 if gray else 3
+    qt_l = _scaled_qt(QT_LUMA, quality)
+    qt_c = _scaled_qt(QT_CHROMA, quality)
+
+    if gray:
+        planes = [px.astype(np.float64) - 128.0]
+    else:
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b,
+            0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    padded = [_pad_to_8(p) for p in planes]
+    bh, bw = padded[0].shape[0] // 8, padded[0].shape[1] // 8
+    qts = [qt_l] + [qt_c] * (ncomp - 1)
+    zzs = []
+    for p, qt in zip(padded, qts):
+        q = np.round(_fdct_blocks(p) / qt[None, :, :]).astype(np.int64)
+        zzs.append(q.reshape(-1, 64)[:, ZIGZAG])
+
+    if scans is None:
+        scans = [(list(range(ncomp)), 0, 0, 0, 1),
+                 (list(range(ncomp)), 0, 0, 1, 0)]
+        for c in range(ncomp):
+            scans += [([c], 1, 5, 0, 1), ([c], 6, 63, 0, 1)]
+        for c in range(ncomp):
+            scans += [([c], 1, 63, 1, 0)]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">HH", marker, len(body) + 2))
+        out.extend(body)
+
+    seg(0xFFDB, bytes([0]) + bytes(int(v) for v in qt_l.reshape(64)[ZIGZAG]))
+    if not gray:
+        seg(0xFFDB, bytes([1]) + bytes(
+            int(v) for v in qt_c.reshape(64)[ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    seg(0xFFC2, sof)
+    seg(0xFFC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    seg(0xFFC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    if not gray:
+        seg(0xFFC4, bytes([0x01]) + bytes(DC_CHROMA_BITS)
+            + bytes(DC_CHROMA_VALS))
+        seg(0xFFC4, bytes([0x11]) + bytes(AC_CHROMA_BITS)
+            + bytes(AC_CHROMA_VALS))
+
+    dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)] + [
+        _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ] * (ncomp - 1)
+    ac_codes = [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS)] + [
+        _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    ] * (ncomp - 1)
+
+    for comp_idx, ss, se, ah, al in scans:
+        sos = bytes([len(comp_idx)])
+        for c in comp_idx:
+            t = 0 if c == 0 else 1  # luma tables for comp 0, chroma else
+            sos += bytes([c + 1, (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xFFDA, sos)
+        writer = _BitWriter()
+        if ss == 0:
+            preds = [0] * ncomp
+            for blk in range(bh * bw):
+                for c in comp_idx:
+                    zz = zzs[c][blk]
+                    if ah == 0:
+                        v = int(zz[0]) >> al
+                        diff = v - preds[c]
+                        preds[c] = v
+                        t = _category(diff)
+                        code, ln = dc_codes[c][t]
+                        writer.write(code, ln)
+                        if t:
+                            writer.write(
+                                diff if diff >= 0
+                                else diff + (1 << t) - 1, t)
+                    else:
+                        writer.write((int(zz[0]) >> al) & 1, 1)
+        else:
+            c = comp_idx[0]
+            for blk in range(bh * bw):
+                if ah == 0:
+                    _emit_ac_first(writer, zzs[c][blk], ss, se, al,
+                                   ac_codes[c])
+                else:
+                    _emit_ac_refine(writer, zzs[c][blk], ss, se, al,
+                                    ac_codes[c])
+        out.extend(writer.flush())
+    out.extend(b"\xff\xd9")
+    return bytes(out)
