@@ -50,11 +50,18 @@ def test_query_matches_oracle(spark, con, name):
 
 
 @pytest.mark.spark
-@pytest.mark.parametrize("name", sorted(entrymod.queued_queries().keys()))
+@pytest.mark.parametrize(
+    "name", sorted(entrymod.queued_queries().keys()) or ["__queue_empty__"]
+)
 def test_queued_query_matches_oracle(spark, con, name):
     """Queued driver gates (window at capacity) get the same value-level
-    comparison the driver would run — certified locally until a
-    round-5 slot frees (see __spark_entry__.queued_queries)."""
+    comparison the driver would run — certified locally until a driver
+    slot frees (see __spark_entry__.queued_queries). Round 5 rotated
+    the entire queue into queries(), so this is a no-op until a future
+    round queues new gates."""
+    if name == "__queue_empty__":
+        assert entrymod.queued_queries() == {}
+        return
     fn = entrymod.queued_queries()[name]
     got = normalize(fn(spark, SF_DIR).toPandas())
     want = normalize(
