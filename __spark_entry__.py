@@ -6567,7 +6567,12 @@ def _q_burst_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = ev.select(
         "key",
         F.row_number().over(w).alias("rn"),
-        (F.unix_micros("ts") * F.lit(1000)).alias("tns"),
+        # cast: unix_micros rejects TIMESTAMP_NTZ (the parquet type);
+        # under the session's UTC timezone the cast is a no-op relabel,
+        # matching DuckDB's naive epoch_ns
+        (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).alias(
+            "tns"
+        ),
     )
     w2 = Window.partitionBy("key").orderBy("rn")
     gaps = ordered.withColumn(
