@@ -113,25 +113,95 @@ def test_batched_training_identical_on_zipfian_corpus(spark):
 
 
 def test_select_merge_batch_margin_rule():
-    """Unit cases for the prefix-safety rule: symbol overlap and
-    insufficient count margin both stop the batch."""
+    """Unit cases for the prefix-safety rule: symbol overlap, the
+    context-gain margin, the beyond-horizon guard, and min_pair_freq
+    all stop the batch exactly where the proof requires."""
     from tsclust_spark.operators.bpe import _select_merge_batch
 
     def row(l, r, cnt):
         return {"l": l, "r": r, "cnt": cnt}
 
-    # clean margins, disjoint symbols -> both taken
+    # disjoint symbols, margin clears the successor + context gain:
+    # 50 > 10 + T(a,b)=30 -> both taken
     top = [row("a", "b", 100), row("c", "d", 50), row("e", "f", 10)]
-    assert _select_merge_batch(top, 2, 2) == [("a", "b"), ("c", "d")]
+    assert _select_merge_batch(top, 2, 2, {("a", "b"): 30}) == [
+        ("a", "b"),
+        ("c", "d"),
+    ]
+    # context gain too large: a single created pair (x, ab) could reach
+    # 45 and an existing pair at 10 could climb to 55 >= 50 -> stop at 1
+    assert _select_merge_batch(top, 2, 2, {("a", "b"): 45}) == [("a", "b")]
     # second overlaps first's created symbol "ab" -> batch stops at 1
-    top = [row("a", "b", 100), row("ab", "d", 50), row("e", "f", 10)]
-    assert _select_merge_batch(top, 2, 2) == [("a", "b")]
-    # margin too thin: 50 <= 45 + 100 -> stops at 1
-    top = [row("a", "b", 100), row("c", "d", 50), row("e", "f", 45)]
-    assert _select_merge_batch(top, 2, 2) == [("a", "b")]
+    top2 = [row("a", "b", 100), row("ab", "d", 50), row("e", "f", 10)]
+    assert _select_merge_batch(top2, 2, 2, {("a", "b"): 0}) == [("a", "b")]
+    # zero context gain: only the successor bound applies, 50 > 45 -> take
+    top3 = [row("a", "b", 100), row("c", "d", 50), row("e", "f", 45)]
+    assert _select_merge_batch(top3, 2, 2, {("a", "b"): 0}) == [
+        ("a", "b"),
+        ("c", "d"),
+    ]
+    # successor + even a small gain defeats the margin: 50 <= 45 + 5
+    assert _select_merge_batch(top3, 2, 2, {("a", "b"): 5}) == [("a", "b")]
     # second under min_pair_freq -> stops at 1
-    top = [row("a", "b", 100), row("c", "d", 1), row("e", "f", 0)]
-    assert _select_merge_batch(top, 2, 2) == [("a", "b")]
+    top4 = [row("a", "b", 100), row("c", "d", 1), row("e", "f", 0)]
+    assert _select_merge_batch(top4, 2, 2, {("a", "b"): 0}) == [("a", "b")]
+    # collect exhausted every pair (no horizon row): last element may be
+    # taken against a zero beyond-horizon bound
+    top5 = [row("a", "b", 100), row("c", "d", 50)]
+    assert _select_merge_batch(top5, 4, 2, {}) == [("a", "b"), ("c", "d")]
+    # destroyed-count aliasing: second pair's left member equals the
+    # first's RIGHT member (merging (a,b) consumes b's) -> stop at 1
+    top6 = [row("a", "b", 100), row("b", "z", 50), row("e", "f", 10)]
+    assert _select_merge_batch(top6, 2, 2, {("a", "b"): 0}) == [("a", "b")]
+
+
+def test_batched_training_actually_batches(spark):
+    """Context-free corpus (every word is a single pair): T bounds are
+    all zero, margins are clean, so max_batch folds the whole merge list
+    into one round — and the merges still equal sequential's."""
+    hist = spark.createDataFrame(
+        [("ab", 100), ("cd", 60), ("ef", 30), ("gh", 10)],
+        "word string, freq long",
+    )
+    stats: dict = {}
+    batched = train_bpe(hist, n_merges=4, max_batch=8, stats=stats)
+    assert batched == train_bpe(hist, n_merges=4, max_batch=1)
+    assert stats["batch_sizes"] == [4], stats
+
+
+def test_batched_training_stops_at_overlap_then_batches(spark):
+    """Corpus where the top pair's own context pair ranks second:
+    "xab" gives ("a","b</w>") and ("x","a") both count 100 — the prefix
+    rule must stop round 1 at a single merge (merging the first consumes
+    the second's occurrences), then round 2 may fold the rest.  Batched
+    output must be bit-identical to sequential throughout."""
+    hist = spark.createDataFrame(
+        [("xab", 100), ("qr", 60), ("st", 30)],
+        "word string, freq long",
+    )
+    stats: dict = {}
+    batched = train_bpe(hist, n_merges=4, max_batch=8, stats=stats)
+    seq = train_bpe(hist, n_merges=4, max_batch=1)
+    assert batched == seq
+    assert ("x", "ab" + EOW) in batched
+    assert stats["batch_sizes"][0] == 1, stats
+
+
+def test_batched_training_context_margin_refuses(spark):
+    """Corpus where the second-ranked pair is symbol-disjoint but the
+    top pair carries a large single-context bound: T("a","b</w>") = 50
+    from "zab", so accepting ("q","y</w>") at 51 would need
+    51 > nxt + 50.  The margin must refuse (conservative bound), and
+    batched output must still equal sequential's."""
+    hist = spark.createDataFrame(
+        [("zab", 50), ("ab", 50), ("qy", 51)],
+        "word string, freq long",
+    )
+    stats: dict = {}
+    batched = train_bpe(hist, n_merges=3, max_batch=8, stats=stats)
+    seq = train_bpe(hist, n_merges=3, max_batch=1)
+    assert batched == seq
+    assert stats["batch_sizes"][0] == 1, stats
 
 
 def test_apply_handles_unseen_words(spark):

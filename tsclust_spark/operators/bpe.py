@@ -78,46 +78,117 @@ def _merge_pair_in(symbols: list[str], left: str, right: str) -> list[str]:
     return out
 
 
+def _context_bounds(
+    state: DataFrame, cands: list[tuple[str, str]]
+) -> dict[tuple[str, str], int]:
+    """Per candidate pair (l, r): the max freq-weighted count of any
+    SINGLE context triple (x, l, r) or (l, r, y) in the current corpus.
+
+    Why this is the right statistic: every pair occurrence CREATED by
+    merging (l, r) has the merged symbol l+r as a member, and each
+    created occurrence of a fixed pair (x, l+r) / (l+r, y) maps to a
+    distinct original triple occurrence with that same fixed context
+    symbol.  So no single pair can gain more than this bound from the
+    merge — the margin rule in :func:`_select_merge_batch` builds on it.
+
+    One candidate-filtered aggregate: the triple explode is corpus-wide
+    but the broadcast semi-join on (l, r) prunes to <= max_batch pairs
+    before the shuffle, so the aggregate state is context-vocabulary
+    sized, not corpus sized.
+    """
+    if not cands:
+        return {}
+    spark = state.sparkSession
+    cdf = spark.createDataFrame(cands, "l string, r string")
+    # F.get is 0-based and NULL-safe on both ends (try_element_at still
+    # throws INVALID_INDEX_OF_ZERO for the first pair's left context)
+    mk = lambda i: F.struct(  # noqa: E731  (inline position -> triple struct)
+        F.element_at("syms", i).alias("l"),
+        F.element_at("syms", i + 1).alias("r"),
+        F.get("syms", i - 2).alias("lctx"),
+        F.get("syms", i + 1).alias("rctx"),
+    )
+    trip = (
+        state.where(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(F.sequence(F.lit(1), F.size("syms") - 1), mk)
+            ).alias("t"),
+        )
+        .select("freq", "t.*")
+        .join(F.broadcast(cdf), ["l", "r"])
+        .select(
+            "l",
+            "r",
+            "freq",
+            F.posexplode(F.array("lctx", "rctx")).alias("side", "ctx"),
+        )
+        .where(F.col("ctx").isNotNull())
+        .groupBy("l", "r", "side", "ctx")
+        .agg(F.sum("freq").alias("c"))
+        .groupBy("l", "r")
+        .agg(F.max("c").alias("t_max"))
+        .collect()
+    )
+    return {(r["l"], r["r"]): int(r["t_max"]) for r in trip}
+
+
 def _select_merge_batch(
-    top: list, max_batch: int, min_pair_freq: int
+    top: list,
+    max_batch: int,
+    min_pair_freq: int,
+    t_bounds: dict[tuple[str, str], int],
 ) -> list[tuple[str, str]]:
     """Longest prefix of the count-ordered candidate list that sequential
     BPE would PROVABLY pick in exactly this order (so k merges can share
     one Spark round — VERDICT r4 item 6 — with zero equivalence risk).
 
     ``top`` is the exact sequential ordering (count desc, then (l, r)
-    lexicographic), so element 1 is always safe.  Element i (0-based) is
+    lexicographic), so element 0 is always safe.  Element i (0-based) is
     accepted iff both:
 
     - symbol-disjoint from every earlier accepted pair j — its symbols
       avoid {l_j, r_j, l_j + r_j}.  Then merging p_j can neither destroy
-      (needs v = l_j or u = r_j) nor create (created pairs contain the
-      string l_j + r_j) an occurrence of p_i, so p_i's count is UNCHANGED
-      when sequential reaches step i;
-    - c_i > c_{i+1} + sum(c_j, j < i).  One merge of c_j occurrences
-      creates at most c_j new pairs, so NO other pair (collected, beyond
-      the collected horizon — all bounded by c_{i+1} since the list is
-      sorted — or brand-new, bounded by 0) can exceed
-      c_{i+1} + sum(c_j): p_i stays the strict argmax, no tie-break
-      reasoning needed.
+      (needs r_i = l_j or l_i = r_j) nor create (created pairs contain
+      the string l_j + r_j) an occurrence of p_i, so p_i's count is
+      UNCHANGED when sequential reaches step i;
+    - c_i > c_{i+1} + sum(T_j, j < i), where T_j is the candidate's max
+      single-context triple bound from :func:`_context_bounds`.  Any
+      competitor at step i is either an existing pair — bounded by its
+      current count (<= c_{i+1} past position i, with ties already
+      broken in ``top``'s own (count desc, l, r) order, which IS the
+      sequential tie-break) — plus what it can GAIN from the earlier
+      merges (<= sum T_j, since each gained occurrence has some l_j+r_j
+      member), or a brand-new pair (<= sum T_j outright).  Strict >
+      removes any tie-break reasoning about pairs beyond the collected
+      horizon or newly created.
+
+    When ``top`` has no row past position i (the limit(want+1) collect
+    exhausted every existing pair), the beyond-horizon bound is 0.
 
     Degenerate corpora fail the margin test and fall back to one merge
     per round — never a wrong batch, only a smaller one.
     """
     batch: list[tuple[str, str]] = [(top[0]["l"], top[0]["r"])]
     taken = {top[0]["l"], top[0]["r"], top[0]["l"] + top[0]["r"]}
-    s_prev = int(top[0]["cnt"])
-    for i in range(1, min(max_batch, len(top) - 1)):
-        row, nxt = top[i], top[i + 1]
+    s_gain = t_bounds.get((top[0]["l"], top[0]["r"]), 0)
+    for i in range(1, min(max_batch, len(top))):
+        row = top[i]
+        nxt_cnt = int(top[i + 1]["cnt"]) if i + 1 < len(top) else 0
         if row["cnt"] < min_pair_freq:
             break
-        if row["l"] in taken or row["r"] in taken:
+        if (
+            row["l"] in taken
+            or row["r"] in taken
+            or (row["l"] + row["r"]) in taken
+        ):
             break
-        if row["cnt"] <= nxt["cnt"] + s_prev:
+        if row["cnt"] <= nxt_cnt + s_gain:
             break
         batch.append((row["l"], row["r"]))
         taken.update({row["l"], row["r"], row["l"] + row["r"]})
-        s_prev += int(row["cnt"])
+        s_gain += t_bounds.get((row["l"], row["r"]), 0)
     return batch
 
 
@@ -127,18 +198,25 @@ def train_bpe(
     min_pair_freq: int = 2,
     checkpoint_every: int = 4,
     max_batch: int = 8,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a ``(word, freq)`` histogram.
 
     Returns the ordered merge list [(left, right), ...].  Stops early
-    when no pair reaches ``min_pair_freq``.  Each round runs ONE
-    vocabulary-sized aggregate; the argmax is a small top-``max_batch``
-    collect (metadata-scale, not a data collect), from which up to
-    ``max_batch`` provably-order-safe merges are folded into one rewrite
-    pass (``_select_merge_batch`` — output is bit-identical to
-    ``max_batch=1``, asserted in tests/test_bpe.py), cutting driver
-    round-trips from n_merges toward n_merges/max_batch on Zipfian
-    corpora.
+    when no pair reaches ``min_pair_freq``.  Each round runs one
+    vocabulary-sized pair aggregate plus (when ``max_batch > 1``) one
+    candidate-filtered context aggregate (:func:`_context_bounds`); the
+    argmax is a small top-``max_batch`` collect (metadata-scale, not a
+    data collect), from which up to ``max_batch`` provably-order-safe
+    merges are folded into one rewrite pass (``_select_merge_batch`` —
+    output is bit-identical to ``max_batch=1``, asserted in
+    tests/test_bpe.py), cutting merge ROUNDS (each a full histogram
+    rewrite + lineage step) by the realized batch factor.  Context-heavy
+    or tie-heavy corpora fail the provable margin and fall back toward
+    one merge per round — correctness never depends on the corpus shape.
+
+    Pass ``stats={}`` to receive ``stats["batch_sizes"]`` (one entry per
+    round) for observability; tests use it to assert real batching.
     """
     sym_schema = T.StructType(
         [
@@ -184,12 +262,16 @@ def train_bpe(
         )
         if not top or top[0]["cnt"] < min_pair_freq:
             break
-        batch = (
-            _select_merge_batch(top, want, min_pair_freq)
-            if want > 1 and len(top) > 1
-            else [(top[0]["l"], top[0]["r"])]
-        )
+        if want > 1 and len(top) > 1:
+            t_bounds = _context_bounds(
+                state, [(r["l"], r["r"]) for r in top[:want]]
+            )
+            batch = _select_merge_batch(top, want, min_pair_freq, t_bounds)
+        else:
+            batch = [(top[0]["l"], top[0]["r"])]
         merges.extend(batch)
+        if stats is not None:
+            stats.setdefault("batch_sizes", []).append(len(batch))
 
         def apply_merges(
             batches: Iterator[pd.DataFrame], _batch=tuple(batch)
