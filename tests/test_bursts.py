@@ -173,7 +173,7 @@ def test_detect_bursts_ns_output_matches_timestamp_mode(spark):
     gaps = [300] * 5 + [5] * 6 + [300] * 5 + [5] * 6 + [300] * 4
     ts_ns = np.concatenate([[0], np.cumsum(gaps)]) * 1_000_000_000 + base
     rows = [
-        ("k", pd.Timestamp(int(t)), int(t), i)
+        ("k", pd.Timestamp(int(t)).to_pydatetime(), int(t), i)
         for i, t in enumerate(ts_ns)
     ]
     df = spark.createDataFrame(
