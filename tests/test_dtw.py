@@ -481,3 +481,69 @@ def test_lockstep_batch_ragged_and_empty():
         else:
             exp = dtw_banded_distance(sa, sb, 4, "euclidean", "symmetric2")
         assert got[i] == exp or (np.isinf(got[i]) and np.isinf(exp)), i
+
+
+def test_ragged_lockstep_group_bit_identical():
+    """_ragged_lockstep_group (per-pair band geometry, shift-aligned
+    lanes) must be BIT-identical to the scalar kernel across patterns,
+    metrics, radii, and extreme length skew — every float op per cell
+    runs in the same order, so equality is exact, not approximate."""
+    from tsclust_spark.kernels.dtw_banded import (
+        _ragged_lockstep_group,
+        dtw_banded_distance,
+    )
+    from tsclust_spark.compat.stepattern import PATTERNS
+
+    rng = np.random.default_rng(11)
+    for pat in ("symmetric1", "symmetric2", "asymmetric", "rigid"):
+        for metric in ("euclidean", "sqeuclidean"):
+            for radius in (1, 8):
+                n_arr = rng.integers(1, 300, size=48).astype(np.int64)
+                m_arr = rng.integers(1, 300, size=48).astype(np.int64)
+                n_arr[0], m_arr[0] = 1, 299      # extreme skew
+                n_arr[1], m_arr[1] = 299, 1
+                n_arr[2], m_arr[2] = 1, 1
+                A = np.zeros((48, int(n_arr.max())))
+                B = np.zeros((48, int(m_arr.max())))
+                arrs = []
+                for i in range(48):
+                    a = rng.normal(size=int(n_arr[i]))
+                    b = rng.normal(size=int(m_arr[i]))
+                    A[i, : n_arr[i]] = a
+                    B[i, : m_arr[i]] = b
+                    arrs.append((a, b))
+                got = _ragged_lockstep_group(
+                    A, n_arr, B, m_arr, radius, metric, PATTERNS[pat]
+                )
+                ref = np.array(
+                    [
+                        dtw_banded_distance(a, b, radius, metric, pat)
+                        for a, b in arrs
+                    ]
+                )
+                same = (got == ref) | (np.isinf(got) & np.isinf(ref))
+                assert same.all(), (pat, metric, radius, np.where(~same))
+
+
+def test_batch_routes_fragmented_shapes_through_ragged_kernel():
+    """A batch whose shapes all differ (the real-corpus case) must pool
+    into ragged buckets — and still match the scalar kernel exactly."""
+    from tsclust_spark.kernels.dtw_banded import (
+        dtw_banded_batch,
+        dtw_banded_distance,
+    )
+
+    rng = np.random.default_rng(13)
+    # 80 pairs, every (len_a, len_b) distinct -> zero exact groups of
+    # >= _RAGGED_MIN_EXACT, everything rides the ragged path
+    lens = rng.permutation(np.arange(40, 200))[:160]
+    a_list = [rng.normal(size=int(l)) for l in lens[:80]]
+    b_list = [rng.normal(size=int(l)) for l in lens[80:]]
+    got = dtw_banded_batch(a_list, b_list, 8, "euclidean", "symmetric2")
+    ref = np.array(
+        [
+            dtw_banded_distance(a, b, 8, "euclidean", "symmetric2")
+            for a, b in zip(a_list, b_list)
+        ]
+    )
+    assert np.array_equal(got, ref), np.where(got != ref)

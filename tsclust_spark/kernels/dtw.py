@@ -517,15 +517,19 @@ def dtw_pairs(
             # to the full DP below.
             banded_rows: list[int] = []
             if use_banded:
+                banded_a: list[np.ndarray] = []
+                banded_b: list[np.ndarray] = []
                 for r in range(len(pdf)):
                     s1 = np.asarray(a_col[r], dtype=np.float64)
                     s2 = np.asarray(b_col[r], dtype=np.float64)
                     if s1.ndim == 1 and s2.ndim == 1:
                         banded_rows.append(r)
+                        banded_a.append(s1)
+                        banded_b.append(s2)
                 if banded_rows:
                     dists[banded_rows] = dtw_banded_batch(
-                        [np.asarray(a_col[r], dtype=np.float64) for r in banded_rows],
-                        [np.asarray(b_col[r], dtype=np.float64) for r in banded_rows],
+                        banded_a,
+                        banded_b,
                         radius=1 if sakoe_chiba_radius is None else sakoe_chiba_radius,
                         metric=metric,
                         step_pattern=pattern,

@@ -191,6 +191,129 @@ def dtw_banded_lockstep(
     return out
 
 
+def _ragged_lockstep_group(
+    A_pad: np.ndarray,
+    n_arr: np.ndarray,
+    B_pad: np.ndarray,
+    m_arr: np.ndarray,
+    radius: int,
+    metric: str,
+    step_pattern: StepPattern,
+) -> np.ndarray:
+    """Banded DTW for a batch of DIFFERENT-length pairs, in lockstep.
+
+    ``A_pad``/``B_pad`` are right-padded (P, n_max)/(P, m_max); ``n_arr``
+    and ``m_arr`` carry the true lengths.  Per pair the band geometry
+    (column range, per-column row bounds) differs, so each column step
+    aligns the previous column's lanes with a per-pair shift gather
+    (``take_along_axis``) instead of one shared slice; every float op a
+    cell sees (one add per horizontal step, the same cumsum/scan pair
+    for the vertical step, the same minimum order) is identical to
+    :func:`dtw_banded_distance`, so results are BIT-identical to the
+    scalar kernel (asserted in tests/test_dtw.py).  Pairs whose column
+    loop has ended (j >= m_p) keep computing masked garbage lanes; their
+    terminal was already captured at j == m_p - 1.
+
+    This is the kernel that keeps real corpora fast: shape-exact
+    grouping (``dtw_banded_batch``) degenerates to median-size-2 groups
+    on a 512-doc block of 64-256-token walks (11.5k groups), falling
+    back to ~scalar speed; width/length bucketing bounds the masked-lane
+    waste at ~2x while amortizing the Python column loop across the
+    whole bucket.
+    """
+    P, _ = A_pad.shape
+    m_max = int(m_arr.max())
+    steps = step_pattern.to_numpy()
+    horiz = [(int(dx), int(dy), float(w)) for dx, dy, w in steps if dx > 0]
+    vert = [(int(dx), int(dy), float(w)) for dx, dy, w in steps if dx == 0]
+    if len(vert) > 1 or any(dy != 1 for _, dy, _ in vert):
+        raise NotImplementedError("one vertical dy=1 step max")
+    max_dx = max(dx for dx, _, _ in horiz)
+
+    delta = np.abs(n_arr - m_arr)
+    w_max = int(np.minimum(n_arr, delta + 2 * radius + 1).max())
+    lanes = np.arange(w_max)[None, :]
+
+    def _bounds(j: int):
+        """Vectorized _band_bounds at column j (clamped per pair)."""
+        jj = np.minimum(j, m_arr - 1)  # frozen past each pair's end
+        ge = n_arr >= m_arr
+        lo = np.where(
+            ge,
+            np.maximum(0, jj - radius),
+            np.maximum(0, jj - (m_arr - n_arr + radius)),
+        )
+        hi = np.where(
+            ge,
+            np.minimum(n_arr - 1, jj + (n_arr - m_arr) + radius),
+            np.minimum(n_arr - 1, jj + radius),
+        )
+        return lo, hi
+
+    terminal = np.full(P, BIG)
+    cols: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    for j in range(m_max):
+        lo, hi = _bounds(j)
+        width = hi - lo + 1
+        lane_ok = lanes < width[:, None]
+        a_idx = np.minimum(lo[:, None] + lanes, A_pad.shape[1] - 1)
+        bj = B_pad[np.arange(P), np.minimum(j, m_arr - 1)][:, None]
+        d = np.take_along_axis(A_pad, a_idx, axis=1) - bj
+        if metric == "sqeuclidean":
+            local = d * d
+        elif metric in ("euclidean", "cityblock", "manhattan", "chebyshev"):
+            local = np.abs(d)
+        else:
+            raise ValueError(
+                f"banded 1-D kernel does not support metric {metric!r}"
+            )
+        local = np.where(lane_ok, local, 0.0)
+        bvec = np.full((P, w_max), BIG)
+        if j == 0:
+            bvec[:, 0] = local[:, 0]  # lo(0) == 0 for every pair
+        for dx, dy, wgt in horiz:
+            if j - dx < 0:
+                continue
+            parr, plo, phi = cols[-dx]
+            shift = (lo - dy - plo)[:, None]
+            src = lanes + shift
+            ok = (
+                lane_ok
+                & (src >= 0)
+                & (src <= (phi - plo)[:, None])
+                & (j < m_arr)[:, None]
+            )
+            gathered = np.take_along_axis(
+                parr, np.clip(src, 0, w_max - 1), axis=1
+            )
+            cand = np.where(ok, gathered + local * wgt, BIG)
+            np.minimum(bvec, cand, out=bvec)
+        if vert:
+            (_, _, wgt) = vert[0]
+            C = np.cumsum(local * wgt, axis=1)
+            scan = np.minimum.accumulate(bvec - C, axis=1) + C
+            np.minimum(bvec, scan, out=bvec)
+        np.minimum(bvec, BIG, out=bvec)
+        cols.append((bvec, lo, hi))
+        if len(cols) > max_dx:
+            cols.pop(0)
+        done = m_arr - 1 == j
+        if done.any():
+            # hi(m-1) == n-1 always, so the terminal sits in lane w-1
+            term = np.take_along_axis(bvec, (width - 1)[:, None], axis=1)[:, 0]
+            terminal = np.where(done, term, terminal)
+    return np.where(
+        terminal >= BIG / 2,
+        np.inf,
+        step_pattern.normalize(terminal, n_arr, m_arr),
+    )
+
+
+# exact-shape groups at least this large keep the slice-aligned kernel
+# (zero masked lanes); smaller ones pool into ragged width/length buckets
+_RAGGED_MIN_EXACT = 32
+
+
 def dtw_banded_batch(
     a_list,
     b_list,
@@ -198,13 +321,17 @@ def dtw_banded_batch(
     metric: str = "euclidean",
     step_pattern: StepPattern | str = "symmetric1",
 ) -> np.ndarray:
-    """Banded DTW over ragged pair lists, lockstep-batched by shape.
+    """Banded DTW over ragged pair lists, lockstep-batched.
 
     ``a_list``/``b_list`` are sequences of 1-D arrays (any lengths).
-    Groups the indices by (len_a, len_b), runs each group through
-    :func:`dtw_banded_lockstep`, and scatters results back in input
-    order.  Empty series follow the scalar kernel's convention
-    (0.0 if both empty else inf).
+    Exact-shape groups of at least ``_RAGGED_MIN_EXACT`` pairs run the
+    slice-aligned :func:`dtw_banded_lockstep` (zero masked lanes); the
+    remaining pairs pool into width/length buckets for
+    :func:`_ragged_lockstep_group` (real corpora fragment exact shapes
+    into median-size-2 groups, which would otherwise fall back to
+    ~scalar speed).  Results scatter back in input order and are
+    bit-identical to the scalar kernel either way.  Empty series follow
+    the scalar kernel's convention (0.0 if both empty else inf).
     """
     if isinstance(step_pattern, str):
         step_pattern = PATTERNS[step_pattern]
@@ -222,7 +349,15 @@ def dtw_banded_batch(
             out[r] = 0.0 if sa.size == sb.size else np.inf
             continue
         groups.setdefault((sa.size, sb.size), []).append(r)
+    ragged: dict[tuple[int, int], list[int]] = {}
     for (n, m), idxs in groups.items():
+        if len(idxs) < _RAGGED_MIN_EXACT:
+            # pool into (next-pow2 m, 32-lane band-width) buckets: the
+            # column loop and masked lanes waste <= ~2x within a bucket
+            w_cap = min(n, abs(n - m) + 2 * radius + 1)
+            key = (1 << max(m - 1, 1).bit_length(), (w_cap + 31) // 32)
+            ragged.setdefault(key, []).extend(idxs)
+            continue
         A = np.empty((len(idxs), n))
         Bm = np.empty((len(idxs), m))
         for row, r in enumerate(idxs):
@@ -230,5 +365,26 @@ def dtw_banded_batch(
             Bm[row] = arrs_b[r]
         out[np.asarray(idxs)] = dtw_banded_lockstep(
             A, Bm, radius=radius, metric=metric, step_pattern=step_pattern
+        )
+    for idxs in ragged.values():
+        if len(idxs) < 4:  # gather overhead beats the loop amortization
+            for r in idxs:
+                out[r] = dtw_banded_distance(
+                    arrs_a[r],
+                    arrs_b[r],
+                    radius=radius,
+                    metric=metric,
+                    step_pattern=step_pattern,
+                )
+            continue
+        n_arr = np.array([arrs_a[r].size for r in idxs], dtype=np.int64)
+        m_arr = np.array([arrs_b[r].size for r in idxs], dtype=np.int64)
+        A = np.zeros((len(idxs), int(n_arr.max())))
+        Bm = np.zeros((len(idxs), int(m_arr.max())))
+        for row, r in enumerate(idxs):
+            A[row, : n_arr[row]] = arrs_a[r]
+            Bm[row, : m_arr[row]] = arrs_b[r]
+        out[np.asarray(idxs)] = _ragged_lockstep_group(
+            A, n_arr, Bm, m_arr, radius, metric, step_pattern
         )
     return out

@@ -145,6 +145,8 @@ def dtw_pairs_pruned(
             a_col = pdf["tokens_a"].to_numpy()
             b_col = pdf["tokens_b"].to_numpy()
             survivors: list[int] = []
+            surv_a: list[np.ndarray] = []
+            surv_b: list[np.ndarray] = []
             for r in range(k):
                 s1 = np.asarray(a_col[r], dtype=np.float64).ravel()
                 s2 = np.asarray(b_col[r], dtype=np.float64).ravel()
@@ -160,12 +162,15 @@ def dtw_pairs_pruned(
                     pruned[r] = True
                     continue
                 survivors.append(r)
+                surv_a.append(s1)
+                surv_b.append(s2)
             if survivors:
-                # surviving DPs run lockstep in one shape-grouped batch
-                # (bit-identical to the scalar kernel, ~40x/core)
+                # surviving DPs run lockstep in one batched call
+                # (bit-identical to the scalar kernel; exact-shape
+                # groups slice-aligned, fragments ragged-lockstep)
                 dists[survivors] = dtw_banded_batch(
-                    [np.asarray(a_col[r], dtype=np.float64).ravel() for r in survivors],
-                    [np.asarray(b_col[r], dtype=np.float64).ravel() for r in survivors],
+                    surv_a,
+                    surv_b,
                     radius=sakoe_chiba_radius,
                     metric=metric,
                     step_pattern=pattern,
