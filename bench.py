@@ -194,8 +194,10 @@ def events_queries(spark, sf_dir: str) -> dict:
     return out
 
 
-def dtw_block_benchmark(spark, sf_dir: str) -> dict:
-    """Banded-DTW pair throughput on a 64-doc block of truncated walks."""
+def dtw_block_benchmark(spark, sf_dir: str, docs: int = 64) -> dict:
+    """Banded-DTW pair throughput on a ``docs``-doc block of truncated
+    walks (64-256 tokens each — lengths vary, so this exercises the
+    ragged-lockstep path, not just the uniform one)."""
     from pyspark.sql import functions as F
 
     from tsclust_spark.kernels.dtw import dtw_distance_matrix
@@ -204,7 +206,7 @@ def dtw_block_benchmark(spark, sf_dir: str) -> dict:
     seq = (
         read_sequences(spark, "smoke")
         .filter(F.col("n_tok") >= 64)
-        .limit(64)
+        .limit(docs)
         .select("doc_id", F.slice("tokens", 1, 256).alias("tokens"))
     )
     t0 = time.time()
@@ -348,6 +350,11 @@ def run_suite(cores: int, sf_dir: str) -> dict:
         # regression in these rows signal, not noise
         dtw = _best_of(lambda: dtw_block_benchmark(spark, sf_dir), 3)
         dtw_pruned = _best_of(lambda: dtw_pruned_benchmark(spark, sf_dir), 3)
+        # 512-doc block (130,816 mixed-length pairs): the row that shows
+        # the ragged-lockstep kernel (shape-exact grouping fragments to
+        # median-size-2 groups on this block). best-of-2: each rep is
+        # ~10 s, long enough to self-average VM drift
+        dtw_big = _best_of(lambda: dtw_block_benchmark(spark, sf_dir, docs=512), 2)
     finally:
         spark.stop()
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -356,12 +363,14 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     queries["codec_decode_20k"] = round(codec_dec["wall_sec"], 3)
     queries["dtw_block_64"] = round(dtw["wall_sec"], 3)
     queries["dtw_pruned_block_64"] = round(dtw_pruned["wall_sec"], 3)
+    queries["dtw_block_512"] = round(dtw_big["wall_sec"], 3)
     return {
         "rollup": rollup,
         "codec": codec,
         "codec_decode": codec_dec,
         "dtw": dtw,
         "dtw_pruned": dtw_pruned,
+        "dtw_big": dtw_big,
         "queries": queries,
         "probe_mops": probes,
         "probe_mops_wide": probes_wide,
@@ -413,6 +422,9 @@ def main() -> int:
                 "dtw_pruned_prune_rate": res["dtw_pruned"]["prune_rate"],
                 "dtw_pruned_pairs_per_sec": round(
                     res["dtw_pruned"]["pairs_per_sec"], 2
+                ),
+                "dtw_block_512_pairs_per_sec": round(
+                    res["dtw_big"]["pairs_per_sec"], 2
                 ),
                 "cpus": CPUS,
             }
