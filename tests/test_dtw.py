@@ -547,3 +547,46 @@ def test_batch_routes_fragmented_shapes_through_ragged_kernel():
         ]
     )
     assert np.array_equal(got, ref), np.where(got != ref)
+
+
+def test_ragged_lockstep_radius_zero_and_degenerate_series():
+    """radius=0 (pure diagonal band) and degenerate inputs — constant
+    series, a single point, identical ramps (zero local cost along the
+    whole path) — must stay bit-identical between the ragged lockstep
+    kernel and the scalar DP. Deterministic fixture, seeded."""
+    from tsclust_spark.kernels.dtw_banded import (
+        _ragged_lockstep_group,
+        dtw_banded_distance,
+    )
+    from tsclust_spark.compat.stepattern import PATTERNS
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for _ in range(6):
+        n = int(rng.integers(1, 50))
+        cases.append((rng.normal(size=n), rng.normal(size=n)))
+    cases.append((np.ones(20), np.ones(20)))          # constant equal
+    cases.append((np.zeros(1), np.zeros(1)))          # single point
+    cases.append((np.arange(30.0), np.arange(30.0)))  # identical ramps
+    n_arr = np.array([len(a) for a, _ in cases], dtype=np.int64)
+    m_arr = np.array([len(b) for _, b in cases], dtype=np.int64)
+    A = np.zeros((len(cases), int(n_arr.max())))
+    B = np.zeros((len(cases), int(m_arr.max())))
+    for i, (a, b) in enumerate(cases):
+        A[i, : len(a)] = a
+        B[i, : len(b)] = b
+    for radius in (0, 2):
+        for pat in ("symmetric2", "asymmetric"):
+            got = _ragged_lockstep_group(
+                A, n_arr, B, m_arr, radius, "euclidean", PATTERNS[pat]
+            )
+            ref = np.array(
+                [
+                    dtw_banded_distance(a, b, radius, "euclidean", pat)
+                    for a, b in cases
+                ]
+            )
+            same = (got == ref) | (np.isinf(got) & np.isinf(ref))
+            assert same.all(), (radius, pat, np.where(~same))
+            # identical series cost exactly 0 under any band
+            assert got[-1] == 0.0 and got[-2] == 0.0 and got[-3] == 0.0
