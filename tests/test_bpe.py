@@ -112,6 +112,25 @@ def test_batched_training_identical_on_zipfian_corpus(spark):
     assert seq == _ref_train(freqs, 25)
 
 
+def test_batched_training_all_ties_refuses_and_matches(spark):
+    """An all-ties corpus (every adjacent pair appears exactly once per
+    word, uniform freq) can never satisfy the strict margin
+    ``c_i > c_{i+1} + ...``, so batching must degrade to one merge per
+    round — and the merge list (pure tie-break territory) must still be
+    bit-identical to max_batch=1 and the pure-Python reference."""
+    words = ["abcd", "efgh", "ijkl", "mnop", "qrst", "uvwx",
+             "badc", "fehg", "jilk", "nmpo", "rqts", "vuxw"]
+    freqs = {w: 3 for w in words}
+    hist = spark.createDataFrame(
+        list(freqs.items()), "word string, freq long"
+    )
+    seq = train_bpe(hist, n_merges=10, max_batch=1)
+    stats: dict = {}
+    bat = train_bpe(hist, n_merges=10, max_batch=8, stats=stats)
+    assert bat == seq == _ref_train(freqs, 10)
+    assert stats["batch_sizes"] == [1] * 10, stats["batch_sizes"]
+
+
 def test_select_merge_batch_margin_rule():
     """Unit cases for the prefix-safety rule: symbol overlap, the
     context-gain margin, the beyond-horizon guard, and min_pair_freq
