@@ -477,10 +477,17 @@ def dtw_pairs(
     sakoe_chiba_radius: int | None = 1,
     itakura_max_slope: float | None = None,
     with_path: bool = False,
+    tokens_bcast=None,
 ):
     """Banded DTW over a DataFrame of candidate pairs.
 
-    Input: ``(id_a string, id_b string, tokens_a array, tokens_b array)``.
+    Input: ``(id_a string, id_b string, tokens_a array, tokens_b array)``
+    — or, with ``tokens_bcast`` (a ``sc.broadcast`` of an
+    ``{id: np.ndarray}`` dict for a BOUNDED block), just
+    ``(id_a, id_b)``: the token payloads then never enter the pair
+    plan at all — no join hydration, no Arrow transfer of duplicated
+    arrays — and each Python worker reads them once from the broadcast
+    (the §8 move-heavy-bytes-once pattern taken to its endpoint).
     Output: ``(id_a, id_b, dist [, path])``.
 
     Runs the numpy DP inside ``mapInPandas`` — embarrassingly parallel,
@@ -507,8 +514,13 @@ def dtw_pairs(
         for pdf in batches:
             dists = np.empty(len(pdf), dtype=np.float64)
             paths: list = []
-            a_col = pdf["tokens_a"].to_numpy()
-            b_col = pdf["tokens_b"].to_numpy()
+            if tokens_bcast is not None:
+                toks = tokens_bcast.value
+                a_col = [toks[i] for i in pdf["id_a"]]
+                b_col = [toks[i] for i in pdf["id_b"]]
+            else:
+                a_col = pdf["tokens_a"].to_numpy()
+                b_col = pdf["tokens_b"].to_numpy()
             # lockstep fast path: every banded-eligible 1-D pair in the
             # Arrow batch runs through one shape-grouped batch DP
             # (dtw_banded_batch) instead of a per-row Python loop —
@@ -609,10 +621,34 @@ def dtw_distance_matrix(
     cond = F.col("id_a") < F.col("id_b")
     if block_col:
         cond = cond & (F.col("_blk") == F.col("_blk_r"))
-    pairs = left.join(right, cond).select("id_a", "id_b", "tokens_a", "tokens_b")
-    if repartition:
+    if repartition and not block_col:
         # small/limited inputs often collapse to one partition after the
-        # join; spread the CPU-bound kernel work (costs one tiny shuffle)
+        # join; spread the CPU-bound kernel work. Shuffle ONLY the id
+        # pairs; the token payloads never enter the pair plan at all —
+        # the (bounded) doc block rides one Python broadcast instead of
+        # being duplicated into every pair, joined, shuffled and
+        # Arrow-shipped per pair (the §8 move-heavy-bytes-once pattern:
+        # the old plan moved ~pairs x 2 x len(tokens) bytes through the
+        # exchange and the Python boundary for a decision that needs
+        # two ids). Valid exactly in this repartition mode, which
+        # callers use for bounded blocks; at open cardinality use
+        # block_col, whose per-block join path below is unchanged.
+        tok_pdf = left.toPandas()  # one scan of the (bounded) block
+        toks = {
+            i: np.asarray(t, dtype=np.float64)
+            for i, t in zip(tok_pdf["id_a"], tok_pdf["tokens_a"])
+        }
+        bcast = df.sparkSession.sparkContext.broadcast(toks)
+        pair_ids = (
+            left.select("id_a")
+            .join(right.select("id_b"), cond)
+            .repartition(repartition)
+        )
+        return dtw_pairs(pair_ids, tokens_bcast=bcast, **dtw_kwargs)
+    pairs = left.join(right, cond).select(
+        "id_a", "id_b", "tokens_a", "tokens_b"
+    )
+    if repartition:
         pairs = pairs.repartition(repartition)
     return dtw_pairs(pairs, **dtw_kwargs)
 

@@ -218,95 +218,184 @@ def _ragged_lockstep_group(
     grouping (``dtw_banded_batch``) degenerates to median-size-2 groups
     on a 512-doc block of 64-256-token walks (11.5k groups), falling
     back to ~scalar speed; width/length bucketing bounds the masked-lane
-    waste at ~2x while amortizing the Python column loop across the
-    whole bucket.
+    waste while amortizing the Python column loop across the whole
+    bucket.
+
+    Execution shape (round-6 rewrite, same cell-for-cell float ops):
+
+    - rows are sorted by ``m`` descending, so at column ``j`` the ACTIVE
+      pairs (``m > j``) are a prefix and every per-column op runs on
+      ``[:c]`` only — finished pairs cost nothing instead of computing
+      masked garbage until the bucket's last column;
+    - the per-pair band bounds for every column are precomputed in one
+      vectorized sweep (the per-column ``np.where`` chains were pure
+      overhead);
+    - the previous column is read through BIG-sentinel shifted SLICES
+      selected per shift class (``shift = lo_j - dy - lo_(j-dx)`` takes
+      at most ``dx + 1`` values because ``lo`` is nondecreasing with
+      unit steps) instead of a ``take_along_axis`` gather; dead lanes of
+      each stored column are overwritten with BIG so an out-of-band read
+      contributes ``BIG + local*wgt >= BIG`` and never wins the min —
+      exactly the candidate the old mask produced.
     """
     P, _ = A_pad.shape
-    m_max = int(m_arr.max())
     steps = step_pattern.to_numpy()
     horiz = [(int(dx), int(dy), float(w)) for dx, dy, w in steps if dx > 0]
     vert = [(int(dx), int(dy), float(w)) for dx, dy, w in steps if dx == 0]
     if len(vert) > 1 or any(dy != 1 for _, dy, _ in vert):
         raise NotImplementedError("one vertical dy=1 step max")
     max_dx = max(dx for dx, _, _ in horiz)
+    if metric == "sqeuclidean":
+        sq = True
+    elif metric in ("euclidean", "cityblock", "manhattan", "chebyshev"):
+        sq = False
+    else:
+        raise ValueError(
+            f"banded 1-D kernel does not support metric {metric!r}"
+        )
+
+    order = np.argsort(-m_arr, kind="stable")
+    A_pad = A_pad[order]
+    B_pad = B_pad[order]
+    n_arr = n_arr[order]
+    m_arr = m_arr[order]
+    m_max = int(m_arr[0])
 
     delta = np.abs(n_arr - m_arr)
     w_max = int(np.minimum(n_arr, delta + 2 * radius + 1).max())
     lanes = np.arange(w_max)[None, :]
+    n_cap = A_pad.shape[1] - 1
 
-    def _bounds(j: int):
-        """Vectorized _band_bounds at column j (clamped per pair)."""
-        jj = np.minimum(j, m_arr - 1)  # frozen past each pair's end
-        ge = n_arr >= m_arr
-        lo = np.where(
-            ge,
-            np.maximum(0, jj - radius),
-            np.maximum(0, jj - (m_arr - n_arr + radius)),
-        )
-        hi = np.where(
-            ge,
-            np.minimum(n_arr - 1, jj + (n_arr - m_arr) + radius),
-            np.minimum(n_arr - 1, jj + radius),
-        )
-        return lo, hi
+    # band geometry for every (pair, column) in one sweep
+    j_row = np.arange(m_max)[None, :]
+    ge = (n_arr >= m_arr)[:, None]
+    lo_all = np.where(
+        ge, j_row - radius, j_row - (m_arr - n_arr + radius)[:, None]
+    )
+    np.maximum(lo_all, 0, out=lo_all)
+    hi_all = np.where(
+        ge, j_row + (n_arr - m_arr)[:, None] + radius, j_row + radius
+    )
+    np.minimum(hi_all, (n_arr - 1)[:, None], out=hi_all)
+    width_all = hi_all - lo_all + 1
 
+    neg_m = -m_arr  # ascending; actives at column j are [:c]
     terminal = np.full(P, BIG)
-    cols: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    # preallocated working storage, reused across columns: a ring of
+    # DP-column buffers (each column's values must survive max_dx more
+    # columns), per-step sentinel pads whose BIG borders never need
+    # refilling (the interior is overwritten whole every column), and
+    # scratch for candidates / the vertical scan
+    ring = [np.empty((P, w_max)) for _ in range(max_dx + 1)]
+    pads = {
+        dy: np.full((P, w_max + max(dx, dy)), BIG)
+        for dx, dy, _ in horiz
+    }
+    cand_buf = np.empty((P, w_max))
+    tmp_buf = np.empty((P, w_max)) if vert else None
+    # sliding A-window: win[i, lane] == A_pad[i, lo_j[i] + lane].
+    # lo(0) == 0 for every pair and lo advances by 0/1 per column, so
+    # the window is a pure slice at j == 0 and a one-lane conditional
+    # slide afterwards — no per-column take_along_axis gather.
+    A_win = [np.empty((P, w_max)), np.empty((P, w_max))]
+    rows_idx = np.arange(P)
+    local_buf = np.empty((P, w_max))
+    cols: list[np.ndarray] = []
     for j in range(m_max):
-        lo, hi = _bounds(j)
-        width = hi - lo + 1
-        lane_ok = lanes < width[:, None]
-        a_idx = np.minimum(lo[:, None] + lanes, A_pad.shape[1] - 1)
-        bj = B_pad[np.arange(P), np.minimum(j, m_arr - 1)][:, None]
-        d = np.take_along_axis(A_pad, a_idx, axis=1) - bj
-        if metric == "sqeuclidean":
-            local = d * d
-        elif metric in ("euclidean", "cityblock", "manhattan", "chebyshev"):
-            local = np.abs(d)
+        c = int(np.searchsorted(neg_m, -j, side="left"))
+        lo = lo_all[:c, j]
+        width = width_all[:c, j]
+        curA = A_win[j % 2][:c]
+        if j == 0:
+            curA[:] = A_pad[:c, :w_max]
         else:
-            raise ValueError(
-                f"banded 1-D kernel does not support metric {metric!r}"
-            )
-        local = np.where(lane_ok, local, 0.0)
-        bvec = np.full((P, w_max), BIG)
+            prevA = A_win[(j - 1) % 2][:c]
+            lo_prev = lo_all[:c, j - 1]
+            adv = lo != lo_prev
+            n_adv = int(np.count_nonzero(adv))
+            if n_adv == 0:
+                curA[:] = prevA
+            elif n_adv == c:
+                curA[:, : w_max - 1] = prevA[:, 1:]
+                curA[:, w_max - 1] = A_pad[
+                    rows_idx[:c], np.minimum(lo_prev + w_max, n_cap)
+                ]
+            else:
+                curA[:] = prevA
+                np.copyto(
+                    curA[:, : w_max - 1], prevA[:, 1:], where=adv[:, None]
+                )
+                np.copyto(
+                    curA[:, w_max - 1],
+                    A_pad[rows_idx[:c], np.minimum(lo_prev + w_max, n_cap)],
+                    where=adv,
+                )
+        local = local_buf[:c]
+        np.subtract(curA, B_pad[:c, j, None], out=local)
+        if sq:
+            local *= local
+        else:
+            np.abs(local, out=local)
+        bvec = ring[j % (max_dx + 1)][:c]
+        bvec.fill(BIG)
         if j == 0:
             bvec[:, 0] = local[:, 0]  # lo(0) == 0 for every pair
         for dx, dy, wgt in horiz:
             if j - dx < 0:
                 continue
-            parr, plo, phi = cols[-dx]
-            shift = (lo - dy - plo)[:, None]
-            src = lanes + shift
-            ok = (
-                lane_ok
-                & (src >= 0)
-                & (src <= (phi - plo)[:, None])
-                & (j < m_arr)[:, None]
-            )
-            gathered = np.take_along_axis(
-                parr, np.clip(src, 0, w_max - 1), axis=1
-            )
-            cand = np.where(ok, gathered + local * wgt, BIG)
+            parr = cols[-dx]
+            shift = lo - dy - lo_all[:c, j - dx]
+            # sentinel-padded view bank: reading lane k of the shift-s
+            # view yields parr[:, k + s], or BIG outside [0, w_max)
+            pad = pads[dy]
+            pad[:c, dy : dy + w_max] = parr[:c]
+            smin = int(shift.min())
+            smax = int(shift.max())
+            g = pad[:c, smin + dy : smin + dy + w_max]
+            for s in range(smin + 1, smax + 1):
+                g = np.where(
+                    (shift >= s)[:, None],
+                    pad[:c, s + dy : s + dy + w_max],
+                    g,
+                )
+            cand = cand_buf[:c]
+            if wgt == 1.0:
+                # x * 1.0 is bitwise x for every float (incl. -0, nan)
+                np.add(local, g, out=cand)
+            else:
+                np.multiply(local, wgt, out=cand)
+                cand += g
             np.minimum(bvec, cand, out=bvec)
         if vert:
             (_, _, wgt) = vert[0]
-            C = np.cumsum(local * wgt, axis=1)
-            scan = np.minimum.accumulate(bvec - C, axis=1) + C
+            C = np.cumsum(local if wgt == 1.0 else local * wgt, axis=1)
+            scan = tmp_buf[:c]
+            np.subtract(bvec, C, out=scan)
+            np.minimum.accumulate(scan, axis=1, out=scan)
+            scan += C
             np.minimum(bvec, scan, out=bvec)
         np.minimum(bvec, BIG, out=bvec)
-        cols.append((bvec, lo, hi))
+        # dead lanes -> BIG so the next column's shifted reads see the
+        # same out-of-band sentinel the old src-bound mask enforced
+        if int(width.min()) != w_max:
+            bvec[lanes >= width[:, None]] = BIG
+        cols.append(bvec)
         if len(cols) > max_dx:
             cols.pop(0)
-        done = m_arr - 1 == j
-        if done.any():
-            # hi(m-1) == n-1 always, so the terminal sits in lane w-1
-            term = np.take_along_axis(bvec, (width - 1)[:, None], axis=1)[:, 0]
-            terminal = np.where(done, term, terminal)
-    return np.where(
+        c_next = int(np.searchsorted(neg_m, -(j + 1), side="left"))
+        if c_next < c:
+            # rows finishing at this column (m == j + 1); their terminal
+            # sits in lane width-1 (hi(m-1) == n-1 always)
+            fin = np.arange(c_next, c)
+            terminal[fin] = bvec[fin, width[fin] - 1]
+    res = np.where(
         terminal >= BIG / 2,
         np.inf,
         step_pattern.normalize(terminal, n_arr, m_arr),
     )
+    out = np.empty(P, dtype=np.float64)
+    out[order] = res
+    return out
 
 
 # exact-shape groups at least this large keep the slice-aligned kernel
@@ -352,10 +441,14 @@ def dtw_banded_batch(
     ragged: dict[tuple[int, int], list[int]] = {}
     for (n, m), idxs in groups.items():
         if len(idxs) < _RAGGED_MIN_EXACT:
-            # pool into (next-pow2 m, 32-lane band-width) buckets: the
-            # column loop and masked lanes waste <= ~2x within a bucket
+            # pool into 8-lane band-width buckets only: the ragged
+            # kernel drops finished pairs from its active prefix, so
+            # mixing LENGTHS in one bucket costs nothing, while a tight
+            # width class keeps masked-lane waste low (the kernel is
+            # bandwidth-bound; measured best at granularity 8 of
+            # {8,16,32,64} on the 512-doc bench mix)
             w_cap = min(n, abs(n - m) + 2 * radius + 1)
-            key = (1 << max(m - 1, 1).bit_length(), (w_cap + 31) // 32)
+            key = ((w_cap + 7) // 8,)
             ragged.setdefault(key, []).extend(idxs)
             continue
         A = np.empty((len(idxs), n))

@@ -73,10 +73,11 @@ def rollup_1m_flat(
     k = np.arange(total_b) - np.repeat(b0, nb)
     boundaries = row_starts[bucket_row] + k * per_bucket
 
-    # sums on an int64 view (exact for any int32 input); min/max on the
-    # native int32 — the kernel is memory-bandwidth-bound, so the int32
-    # passes halve the bytes moved vs an up-front int64 widening
-    sums = np.add.reduceat(values.astype(np.int64), boundaries)
+    # sums accumulate directly in int64 via the ufunc dtype (exact for
+    # any int32 input) WITHOUT materializing an int64 copy of the whole
+    # buffer; min/max on the native int32 — the kernel is
+    # memory-bandwidth-bound, so every avoided pass/copy counts
+    sums = np.add.reduceat(values, boundaries, dtype=np.int64)
     mins = np.minimum.reduceat(values, boundaries)
     maxs = np.maximum.reduceat(values, boundaries)
     counts = np.diff(np.append(boundaries, values.size))

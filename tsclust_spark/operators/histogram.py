@@ -47,16 +47,22 @@ def histogram_tier(
 ) -> DataFrame:
     """Per-(key, bucket) fixed-bin histogram: ``(key, bucket_ts, hist)``
     with ``hist`` an ``array<bigint>`` of length ``n_bins``."""
-    idx = bin_index(F.col(value_col), lo, hi, n_bins)
-    bins = [
-        F.sum(F.when(idx == i, 1).otherwise(0)).cast("bigint").alias(f"_b{i}")
-        for i in range(n_bins)
-    ]
     trunc = TIER_TRUNC[tier]
-    agg = points_df.groupBy(
+    # project the bin index ONCE per row: referencing the full bin_index
+    # expression inside every conditional sum would evaluate the
+    # floor/clamp chain n_bins times per row in the partial aggregate
+    binned = points_df.select(
         F.col(key_col),
         F.date_trunc(trunc, F.col(ts_col)).alias("bucket_ts"),
-    ).agg(*bins)
+        bin_index(F.col(value_col), lo, hi, n_bins).alias("_bin"),
+    )
+    bins = [
+        F.sum(F.when(F.col("_bin") == i, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"_b{i}")
+        for i in range(n_bins)
+    ]
+    agg = binned.groupBy(F.col(key_col), F.col("bucket_ts")).agg(*bins)
     return agg.select(
         key_col,
         "bucket_ts",

@@ -60,14 +60,23 @@ def m4_downsample(
         F.col(f"{s}.{ts_col}").alias(ts_col),
         F.col(f"{s}.{value_col}").alias(value_col),
     )
+    # each struct is projected ONCE per row and fed to both its min and
+    # max aggregate (the inline form re-evaluated the struct constructor
+    # per aggregate expression in the partial-aggregate stage)
     agg = (
         df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
-        .groupBy(F.col(key_col).alias("key"), pixel.alias("pixel"))
+        .select(
+            F.col(key_col).alias("key"),
+            pixel.alias("pixel"),
+            F.struct(ts_col, value_col).alias("_tv"),
+            F.struct(value_col, ts_col).alias("_vt"),
+        )
+        .groupBy("key", "pixel")
         .agg(
-            F.min(F.struct(ts_col, value_col)).alias("_first"),
-            F.max(F.struct(ts_col, value_col)).alias("_last"),
-            F.min(F.struct(value_col, ts_col)).alias("_min"),
-            F.max(F.struct(value_col, ts_col)).alias("_max"),
+            F.min("_tv").alias("_first"),
+            F.max("_tv").alias("_last"),
+            F.min("_vt").alias("_min"),
+            F.max("_vt").alias("_max"),
         )
     )
     return (
