@@ -252,6 +252,13 @@ def train_bpe(
             ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
         ).alias("p")
         want = min(max(1, max_batch), n_merges - len(merges))
+        # INVARIANT: this collect takes the raw limit(want+1) head with
+        # NO count filter (no .where(cnt >= min_pair_freq)).
+        # _select_merge_batch's exhausted-horizon rule (nxt_cnt = 0 when
+        # i+1 >= len(top)) is sound ONLY under this invariant: a short
+        # result must mean "no other pairs exist", not "the rest were
+        # filtered out". Add any pre-filter here and that rule silently
+        # turns unsound.
         top = (
             state.select("freq", pair)
             .groupBy("p.l", "p.r")
@@ -262,7 +269,13 @@ def train_bpe(
         )
         if not top or top[0]["cnt"] < min_pair_freq:
             break
-        if want > 1 and len(top) > 1:
+        # prescreen (free): the i=1 margin test needs
+        # top[1].cnt > top[2].cnt + s_gain with s_gain >= 0, so when
+        # top[1].cnt <= top[2].cnt the batch can only ever be
+        # [top[0]] — skip the corpus-wide _context_bounds job that a
+        # tie-heavy corpus would otherwise pay every round for nothing
+        nxt2 = int(top[2]["cnt"]) if len(top) > 2 else 0
+        if want > 1 and len(top) > 1 and int(top[1]["cnt"]) > nxt2:
             t_bounds = _context_bounds(
                 state, [(r["l"], r["r"]) for r in top[:want]]
             )

@@ -20,12 +20,12 @@ rows only.
 
 The state SEQUENCE is deterministic given the gap multiset and
 parameters (ties in the DP broken toward the base state), so the
-interval output is engine- and partitioning-exact; Viterbi is not
-SQL-expressible, so the driver gate checks structural INVARIANTS
-(intervals ordered, disjoint, within span, each covering >= min_len
-gaps) against a constant-true oracle — the codec_roundtrip/pack_docs
-pattern — while interval VALUES are pytest-gated against a pure-
-Python reference on planted bursts.
+interval output is engine- and partitioning-exact. Since round 5 the
+driver gate (`burst_intervals`) is VALUE-level: the DuckDB oracle
+replays Kleinberg's Viterbi itself as a recursive CTE with the same
+pinned constants and the interval rows are hash-compared — interval
+VALUES are additionally pytest-gated against a pure-Python reference
+on planted bursts.
 """
 
 from __future__ import annotations
