@@ -6756,7 +6756,6 @@ _BEYOND_WINDOW_VETERANS = [
     "raw_range_scan",        # r4-green; pytest tests/test_rawquery.py
     "raw_value_scan",        # r4-green; pytest tests/test_rawquery.py
     "acf_events",            # r4-green; pytest tests/test_acf.py
-    "m4_downsample_64px",    # r4-green; pytest tests/test_m4.py
     "seasonal_anomalies_hod",  # r4-green; pytest tests/test_seasonal.py
     "holt_events",           # r4-green; pytest tests/test_holt.py
     "trend_slope_1h",        # r4-green; pytest tests/test_trend.py
@@ -6775,33 +6774,23 @@ _BEYOND_WINDOW_VETERANS = [
     "pmi_collocations",      # r4-green; pytest tests/test_collocation.py
     "mad_anomalies_1h",      # r4-green; pytest tests/test_anomaly.py
     "mann_kendall_1d",       # r4-green; pytest tests/test_trend.py
-    "window_rep_1h",         # r4-green; DTW dep bit-identical (6444d0f), kernel recertified in-window via dtw_selfcheck
-    "dtw_pruned_check",      # r4-green; its booleans are now a SUBSET of the in-window extended dtw_selfcheck gate (ok_pruned)
-    "cluster_invariants",    # r4-green; DTW dep bit-identical (6444d0f), kernel recertified in-window via dtw_selfcheck
     "dedup_groups_cc",       # r4-green; pytest tests/test_dedup.py
     "ivf_topk_full_probe",   # r4-green; shares _SQL_COSINE_TOPK; pytest tests/test_similarity.py
     # --- r3-green rotations (round 4), code unchanged since r3 ---
-    "tier_1m_events",        # r3-green, rollup.py unchanged since r3; rotated out for mad_anomalies_1h (round 4; the 1m tier is also covered by bench legs, fastpath plan tests and the streaming twin)
-    "tier_cascade_1h_events",# r3-green, rollup.py unchanged since r3; rotated out for mann_kendall_1d (round 4; cascade exactness pytest-gated in test_realtime/test_plans)
     "dedup_exact",           # r3-green, function unchanged since r3; rotated out for series_spearman_pairs (round 4; dedup family keeps minhash/groups_cc/simhash coverage)
-    "tier_histogram_1h",     # r3-green, histogram.py/rollup.py unchanged since r3; rotated out for pmi_collocations (round 4; hist_percentiles_1h derives from it, pytest-covered)
     "fast1m_jvm",            # r3-green, kernel unchanged since r3; rotated out for holt_winters_events (round 4; shares _SQL_FAST1M with fast1m_arrow, both pytest-plan-gated)
     "tfidf_top3",            # r3-green, tfidf.py unchanged since r3; rotated out for ngram_contamination (round 4)
     "realtime_cagg_1m",      # r3-green, rollup.py unchanged since r3; rotated out for bigram_surprisal (round 4)
-    "time_weighted_avg_1h",  # r3-green, rollup.py unchanged since r3; rotated out for rolling_median_10m (round 4)
     "counter_delta_1h",      # r3-green, rollup.py unchanged since r3; rotated out for zipf_slope_sources (round 4)
     "dedup_ngram_jaccard",   # r3-green; bounded-input direct Jaccard — dedup keeps 4 in-window gates (exact/minhash/groups_cc/simhash)
     "sample_docs_10pct",     # pure function of (seed, id); r3-green; pytest tests/test_sampling.py
     "cap_docs_per_source",   # pure function of (seed, id); r3-green; pytest tests/test_sampling.py
     "split_assign",          # pure function of (seed, id); r3-green; pytest tests/test_sampling.py
-    "fast1m_arrow",          # shares _SQL_FAST1M with in-window fast1m_jvm
     "token_count",           # map-only JVM expr; pytest tests/test_textstats.py
     "fingerprint",           # map-only JVM expr; pytest
     "language_id",           # map-only JVM expr; pytest
     "quality_score",         # map-only JVM expr; pytest
     "lttb_invariants",       # pytest Catalyst-twin gate (kernels/lttb.py)
-    "frame_sample",          # pytest tests/test_multimodal.py
-    "multimodal_invariants", # pytest tests/test_multimodal.py
     "dba_identical_recovery",# pytest tests/test_barycenter.py
     "renest_roundtrip",      # pytest tests/test_explode.py
     "parity_diff",           # pytest tests/test_basic_ops.py
@@ -6809,7 +6798,6 @@ _BEYOND_WINDOW_VETERANS = [
     "paa_events",            # pytest tests/test_tsops.py
     "sax_words_events",      # pytest tests/test_tsops.py
     "top_tokens_per_source", # pytest tests/test_tfidf.py
-    "hist_percentiles_1h",   # derived from in-window tier_histogram_1h
     "embedding_quantize_int8",  # pytest tests/test_similarity.py bit gate
     "tier_firstlast_1h",     # r3-green; rotated out for m4_downsample_64px (round 4)
     "zscore_anomalies_1h",   # r3-green; rotated out for seasonal_anomalies_hod (round 4)
@@ -6821,6 +6809,20 @@ _BEYOND_WINDOW_VETERANS = [
     "cosine_topk",           # r3-green; rotated out for unigram_surprisal (round 4; ivf shares _SQL_COSINE_TOPK in-window)
     "lsh_topk_identical",    # r3-green; rotated out for token_psi_sources (round 4)
     "dedup_minhash_lsh",     # r3-green; rotated out for mp_selfcheck (round 4; dedup_groups_cc runs the same minhash pair stage in-window)
+    # --- rotated out after CORRECTNESS_r05 (first driver row r5, all
+    #     hash-green; code unchanged since; local oracle + pytest) ---
+    "ks_view_vs_purchase",             # r5-green
+    "decompose_additive_events",             # r5-green
+    "theil_sen_trend",             # r5-green
+    "plateau_runs",             # r5-green
+    "ar1_fit",             # r5-green
+    "coverage_report",             # r5-green
+    "perm_entropy_events",             # r5-green
+    "spectral_power_events",             # r5-green
+    "monotone_runs_events",             # r5-green
+    "interarrival_stats_events",             # r5-green
+    "decompose_mul_events",             # r5-green
+    "benford_digits",             # r5-green
 ]
 
 
@@ -6830,8 +6832,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     queued behind round 4's at-capacity window — never driver-
         #     certified before; all local-oracle green (tools/check_oracle)
         #     and pytest-gated ---
-        "ks_view_vs_purchase": _q_ks_view_vs_purchase,
-        "decompose_additive_events": _q_decompose_additive,
         "pack_docs_128": _q_pack_docs,
         "mixture_sample_docs": _q_mixture_sample_docs,
         "chunk_docs_32": _q_chunk_docs,
@@ -6840,18 +6840,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii_docs": _q_redact_pii_docs,
         "seasonal_naive_backtest": _q_seasonal_naive_backtest,
         "embedding_covariance": _q_embedding_covariance,
-        "theil_sen_trend": _q_theil_sen_trend,
         "changepoint_amoc": _q_changepoint_amoc,
-        "plateau_runs": _q_plateau_runs,
-        "ar1_fit": _q_ar1_fit,
-        "coverage_report": _q_coverage_report,
-        "perm_entropy_events": _q_perm_entropy,
-        "spectral_power_events": _q_spectral_power,
         "trimmed_tier_1d": _q_trimmed_tier,
         "rolling_corr_view_purchase": _q_rolling_corr,
         "decomposition_strength": _q_decomposition_strength,
-        "monotone_runs_events": _q_monotone_runs,
-        "interarrival_stats_events": _q_interarrival_stats,
         "value_entropy_events": _q_value_entropy,
         "ttr_sources": _q_ttr_sources,
         "vocab_overlap_sources": _q_vocab_overlap,
@@ -6870,15 +6862,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hw_forecast_12": _q_hw_forecast,
         "holt_damped": _q_holt_damped,
         "regime_anomalies": _q_regime_anomalies,
-        "decompose_mul_events": _q_decompose_mul,
         "self_drift_ks": _q_self_drift_ks,
-        "benford_digits": _q_benford_digits,
         "kaplan_meier_churn": _q_kaplan_meier,
         "stationary_distribution": _q_stationary_distribution,
         "logrank_early_vs_late": _q_logrank,
         "dominant_lag": _q_dominant_lag,
         "weibull_fit": _q_weibull_fit,
         "burst_intervals": _q_burst_intervals,
+        # --- round-6 rotations INTO the window: gates whose transitive
+        #     code changed in round 5/6 (jpeg.py r5; dtw kernels,
+        #     histogram.py, m4.py, rollup_arrow.py, barycenter-adjacent
+        #     cluster assignment r6) plus the tier staples due periodic
+        #     recert (VERDICT r5 item 2) ---
+        "tier_histogram_1h": _q_tier_histogram_1h,
+        "hist_percentiles_1h": _q_hist_percentiles_1h,
+        "m4_downsample_64px": _q_m4_downsample,
+        "dtw_pruned_check": _q_dtw_pruned_check,
+        "cluster_invariants": _q_cluster_invariants,
+        "window_rep_1h": _q_window_rep_1h,
+        "frame_sample": _q_frame_sample,
+        "multimodal_invariants": _q_multimodal_invariants,
+        "fast1m_arrow": _q_fast1m_arrow,
+        "tier_1m_events": _q_tier_1m_events,
+        "tier_cascade_1h_events": _q_tier_cascade_1h_events,
+        "time_weighted_avg_1h": _q_time_weighted_avg_1h,
         # --- round-5 code change (commit 6444d0f, lockstep banded DTW
         #     DP + dtw_lb): recertify both kernels via the combined gate
         #     (ok = banded==masked-full, ok_pruned = LB invariants) ---
@@ -6909,7 +6916,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_range_scan": _q_raw_range_scan,
         "raw_value_scan": _q_raw_value_scan,
         "acf_events": _q_acf_events,
-        "m4_downsample_64px": _q_m4_downsample,
         "seasonal_anomalies_hod": _q_seasonal_anomalies,
         "holt_events": _q_holt_events,
         "trend_slope_1h": _q_trend_slope_1h,
@@ -6928,32 +6934,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _q_pmi_collocations,
         "mad_anomalies_1h": _q_mad_anomalies_1h,
         "mann_kendall_1d": _q_mann_kendall_1d,
-        "window_rep_1h": _q_window_rep_1h,
-        "dtw_pruned_check": _q_dtw_pruned_check,
-        "cluster_invariants": _q_cluster_invariants,
         "dedup_groups_cc": _q_dedup_groups_cc,
         "ivf_topk_full_probe": _q_ivf_topk,
-        "tier_1m_events": _q_tier_1m_events,
-        "tier_cascade_1h_events": _q_tier_cascade_1h_events,
         "dedup_exact": _q_dedup_exact,
-        "tier_histogram_1h": _q_tier_histogram_1h,
         "fast1m_jvm": _q_fast1m_jvm,
         "tfidf_top3": _q_tfidf_top3,
         "realtime_cagg_1m": _q_realtime_cagg_1m,
-        "time_weighted_avg_1h": _q_time_weighted_avg_1h,
         "counter_delta_1h": _q_counter_delta_1h,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "sample_docs_10pct": _q_sample_docs_10pct,
         "cap_docs_per_source": _q_cap_docs_per_source,
         "split_assign": _q_split_assign,
-        "fast1m_arrow": _q_fast1m_arrow,
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
         "language_id": _q_language_id,
         "quality_score": _q_quality_score,
         "lttb_invariants": _q_lttb_invariants,
-        "frame_sample": _q_frame_sample,
-        "multimodal_invariants": _q_multimodal_invariants,
         "dba_identical_recovery": _q_dba_identical_recovery,
         "renest_roundtrip": _q_renest_roundtrip,
         "parity_diff": _q_parity_diff,
@@ -6961,7 +6957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paa_events": _q_paa_events,
         "sax_words_events": _q_sax_words_events,
         "top_tokens_per_source": _q_top_tokens_per_source,
-        "hist_percentiles_1h": _q_hist_percentiles_1h,
         "embedding_quantize_int8": _q_quantize_int8,
         "tier_firstlast_1h": _q_tier_firstlast_1h,
         "zscore_anomalies_1h": _q_zscore_anomalies_1h,
@@ -6973,6 +6968,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "lsh_topk_identical": _q_lsh_topk_identical,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        # --- rotated out after CORRECTNESS_r05 (all hash-green r5) ---
+        "ks_view_vs_purchase": _q_ks_view_vs_purchase,
+        "decompose_additive_events": _q_decompose_additive,
+        "theil_sen_trend": _q_theil_sen_trend,
+        "plateau_runs": _q_plateau_runs,
+        "ar1_fit": _q_ar1_fit,
+        "coverage_report": _q_coverage_report,
+        "perm_entropy_events": _q_perm_entropy,
+        "spectral_power_events": _q_spectral_power,
+        "monotone_runs_events": _q_monotone_runs,
+        "interarrival_stats_events": _q_interarrival_stats,
+        "decompose_mul_events": _q_decompose_mul,
+        "benford_digits": _q_benford_digits,
     }
 
 

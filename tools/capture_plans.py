@@ -50,6 +50,8 @@ def main() -> int:
 
     for name in EVENT_QUERIES:
         dump(name, qs[name](spark, SF_DIR))
+    if "span_dedup_docs" in qs:
+        dump("span_dedup_docs", qs["span_dedup_docs"](spark, SF_DIR))
 
     # bench legs
     from tsclust_spark.kernels.codec import compress_sequences, decompress_blocks

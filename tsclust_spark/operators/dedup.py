@@ -465,8 +465,14 @@ def span_dedup_corpus(
         F.col("chunk_idx").alias("idx"),
         F.concat_ws(" ", "chunk_tokens").alias("span"),
     )
+    # partition the first-occurrence window by (xxhash64(span), span):
+    # still EXACTLY the span groups (the text stays in the key, so a
+    # hash collision cannot merge distinct spans), but the shuffle
+    # partitioning and the in-partition sort compare the 8-byte hash
+    # first and touch the span bytes only on equal hashes — the
+    # round-5 "pre-hash the span" note, implemented collision-safe
     rn = F.row_number().over(
-        Window.partitionBy("span").orderBy(id_col, "idx")
+        Window.partitionBy(F.xxhash64("span"), "span").orderBy(id_col, "idx")
     )
     ranked = spans.withColumn("rn", rn)
     per_doc = ranked.groupBy(id_col).agg(
