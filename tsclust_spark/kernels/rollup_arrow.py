@@ -84,9 +84,16 @@ def rollup_1m_flat(
 
     reps = np.empty(total_b, dtype=values.dtype)
     full = counts == per_bucket
+    # int32 gather indices when the flat buffer allows it: the index
+    # matrix is the kernel's single biggest allocation (buckets x 60),
+    # and int64 indices would move 2x the bytes of the data they gather
+    idx_t = np.int32 if values.size < 2**31 else np.int64
     if full.any():
         med = (per_bucket + 1) // 2 - 1
-        gather = boundaries[full][:, None] + np.arange(per_bucket)[None, :]
+        gather = (
+            boundaries[full].astype(idx_t)[:, None]
+            + np.arange(per_bucket, dtype=idx_t)[None, :]
+        )
         reps[full] = np.partition(values[gather], med, axis=1)[:, med]
     part = np.flatnonzero(~full)
     if part.size:
@@ -97,7 +104,10 @@ def rollup_1m_flat(
         for ln in np.unique(tail_counts):
             sel = part[tail_counts == ln]
             med = (int(ln) + 1) // 2 - 1
-            gather = boundaries[sel][:, None] + np.arange(int(ln))[None, :]
+            gather = (
+                boundaries[sel].astype(idx_t)[:, None]
+                + np.arange(int(ln), dtype=idx_t)[None, :]
+            )
             reps[sel] = np.partition(values[gather], med, axis=1)[:, med]
 
     return {
