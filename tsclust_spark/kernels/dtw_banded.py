@@ -147,18 +147,27 @@ def dtw_banded_lockstep(
     max_dx = max(dx for dx, _, _ in horiz)
 
     lo, hi = _band_bounds(n, m, radius)
+    w_max = int(np.max(hi - lo)) + 1
+    # ring of reusable column buffers (each column's values must survive
+    # max_dx more columns) + scratch; same per-cell float ops as before
+    ring = [np.empty((P, w_max)) for _ in range(max_dx + 1)]
+    local_buf = np.empty((P, w_max))
+    cand_buf = np.empty((P, w_max))
+    tmp_buf = np.empty((P, w_max)) if vert else None
     cols: list[np.ndarray] = []  # ring buffer of the last max_dx columns
     for j in range(m):
         l, h = int(lo[j]), int(hi[j])
         width = h - l + 1
-        d = A[:, l : h + 1] - B[:, j : j + 1]
+        local = local_buf[:, :width]
+        np.subtract(A[:, l : h + 1], B[:, j : j + 1], out=local)
         if metric == "sqeuclidean":
-            local = d * d
+            local *= local
         elif metric in ("euclidean", "cityblock", "manhattan", "chebyshev"):
-            local = np.abs(d)
+            np.abs(local, out=local)
         else:
             raise ValueError(f"banded 1-D kernel does not support metric {metric!r}")
-        bvec = np.full((P, width), BIG)
+        bvec = ring[j % (max_dx + 1)][:, :width]
+        bvec.fill(BIG)
         if j == 0 and l == 0:
             bvec[:, 0] = local[:, 0]
         for dx, dy, wgt in horiz:
@@ -170,16 +179,26 @@ def dtw_banded_lockstep(
             i1 = min(h, ph + dy)
             if i0 > i1:
                 continue
-            cand = (
-                parr[:, i0 - dy - pl : i1 - dy - pl + 1]
-                + local[:, i0 - l : i1 - l + 1] * wgt
-            )
+            cand = cand_buf[:, : i1 - i0 + 1]
+            if wgt == 1.0:
+                # x * 1.0 is bitwise x for every float
+                np.add(
+                    parr[:, i0 - dy - pl : i1 - dy - pl + 1],
+                    local[:, i0 - l : i1 - l + 1],
+                    out=cand,
+                )
+            else:
+                np.multiply(local[:, i0 - l : i1 - l + 1], wgt, out=cand)
+                cand += parr[:, i0 - dy - pl : i1 - dy - pl + 1]
             seg = bvec[:, i0 - l : i1 - l + 1]
             np.minimum(seg, cand, out=seg)
         if vert:
             (_, _, wgt) = vert[0]
-            C = np.cumsum(local * wgt, axis=1)
-            scan = np.minimum.accumulate(bvec - C, axis=1) + C
+            C = np.cumsum(local if wgt == 1.0 else local * wgt, axis=1)
+            scan = tmp_buf[:, :width]
+            np.subtract(bvec, C, out=scan)
+            np.minimum.accumulate(scan, axis=1, out=scan)
+            scan += C
             np.minimum(bvec, scan, out=bvec)
         np.minimum(bvec, BIG, out=bvec)
         cols.append(bvec)
