@@ -307,7 +307,7 @@ def _ragged_lockstep_group(
     # scratch for candidates / the vertical scan
     ring = [np.empty((P, w_max)) for _ in range(max_dx + 1)]
     pads = {
-        dy: np.full((P, w_max + max(dx, dy)), BIG)
+        (dx, dy): np.full((P, w_max + max(dx, dy)), BIG)
         for dx, dy, _ in horiz
     }
     cand_buf = np.empty((P, w_max))
@@ -366,7 +366,7 @@ def _ragged_lockstep_group(
             shift = lo - dy - lo_all[:c, j - dx]
             # sentinel-padded view bank: reading lane k of the shift-s
             # view yields parr[:, k + s], or BIG outside [0, w_max)
-            pad = pads[dy]
+            pad = pads[(dx, dy)]
             pad[:c, dy : dy + w_max] = parr[:c]
             smin = int(shift.min())
             smax = int(shift.max())
