@@ -224,14 +224,11 @@ def _ragged_lockstep_group(
     ``A_pad``/``B_pad`` are right-padded (P, n_max)/(P, m_max); ``n_arr``
     and ``m_arr`` carry the true lengths.  Per pair the band geometry
     (column range, per-column row bounds) differs, so each column step
-    aligns the previous column's lanes with a per-pair shift gather
-    (``take_along_axis``) instead of one shared slice; every float op a
+    aligns the previous column's lanes per pair; every float op a
     cell sees (one add per horizontal step, the same cumsum/scan pair
     for the vertical step, the same minimum order) is identical to
     :func:`dtw_banded_distance`, so results are BIT-identical to the
-    scalar kernel (asserted in tests/test_dtw.py).  Pairs whose column
-    loop has ended (j >= m_p) keep computing masked garbage lanes; their
-    terminal was already captured at j == m_p - 1.
+    scalar kernel (asserted in tests/test_dtw.py).
 
     This is the kernel that keeps real corpora fast: shape-exact
     grouping (``dtw_banded_batch``) degenerates to median-size-2 groups
